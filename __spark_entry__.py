@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation pipeline (full check contract
+-> per-partition verdicts) over the driver's sf0.001 documents table mapped
+to the engine's code-table shape. ``queries()``/``oracle_sql()`` expose every
+implemented operator from SURVEY.md §2 plus the training-data pipeline ops.
 """
 
 from __future__ import annotations
@@ -12,27 +11,60 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _documents_as_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map documents -> (repo, path, commit, lang, content): the engine's
+    input shape (BASELINE.json:15) carved from driver data."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.substring(F.sha2(F.col("source"), 256), 1, 8).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation contract -> verdicts DataFrame (rows > 0)."""
+    import tempfile
+
+    from raqc_spark.contract import default_contract
+    from raqc_spark.runner import run_contract
+
+    s2 = _documents_as_code_table(spark, SF0001)
+    # previous "snapshot": deterministic subset (drift baseline)
+    s1 = s2.filter(F.xxhash64("path") % 2 == 0)
+    commits = s2.select("repo", "commit").distinct()
+    run_dir = tempfile.mkdtemp(prefix="raqc_entry_")
+    result = run_contract(
+        spark, default_contract(), s2, s1=s1, commits_dim=commits,
+        run_dir=run_dir, resume=False,
+    )
+    return result.verdicts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 + pipeline ops)."""
+    from raqc_spark.queries_core import CORE_QUERIES
+    from raqc_spark.queries_pipeline import PIPELINE_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(CORE_QUERIES)
+    out.update(PIPELINE_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-ANSI equivalents (keys omitted -> rows-only driver check)."""
+    from raqc_spark.queries_core import CORE_ORACLE
+    from raqc_spark.queries_pipeline import PIPELINE_ORACLE
+
+    out: dict[str, str] = {}
+    out.update(CORE_ORACLE)
+    out.update(PIPELINE_ORACLE)
+    return out

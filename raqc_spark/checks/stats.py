@@ -1,0 +1,159 @@
+"""Per-column stats checks compiled into ONE shared aggregation pass.
+
+RAQC re-walks its full arrays once per masking/stat step (SURVEY.md §4.1);
+the Spark-first design computes every stat-family metric for every partition
+in a single ``groupBy(partition_id).agg(...)`` — one scan, one (partial+final,
+map-side-combined) shuffle, after which verdict projection is free.
+
+Check kinds handled here: null_rate, empty_content, bounds, col_stats,
+length_quantiles, approx_distinct (SURVEY.md §2.2 P2/P3, §2.4 A1/A3/A4).
+Row-level violations exist only for the predicate checks (null/empty/bounds);
+quantile/distinct checks are stats-only, like RAQC's basin stats report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raqc_spark.checks.blocks import threshold_pass_col, verdicts_from_partition_agg
+from raqc_spark.contract import Check
+from raqc_spark.results import VIOLATION_COLS
+
+APPROX_PERCENTILE_ACCURACY = 10_000
+
+PREDICATE_KINDS = {"null_rate", "empty_content", "bounds"}
+STATS_KINDS = PREDICATE_KINDS | {"col_stats", "length_quantiles", "approx_distinct"}
+
+
+def violation_predicate(check: Check) -> Column:
+    """Row-level violation predicate for predicate-family checks.
+
+    Checks on ``content`` read the derived ``content_length`` instead — the
+    raw column is dropped right after derivation (functions.with_derived),
+    and NULL/empty are recoverable from the length.
+    """
+    if check.column == "content":
+        length = F.col("content_length")
+        if check.kind == "null_rate":
+            return length.isNull()
+        if check.kind == "empty_content":
+            return length.isNotNull() & (length == 0)
+    col = F.col(check.column)
+    if check.kind == "null_rate":
+        return col.isNull()
+    if check.kind == "empty_content":
+        return col.isNotNull() & (F.length(col) == 0)
+    if check.kind == "bounds":
+        lo, hi = check.p.get("lo"), check.p.get("hi")
+        pred = F.lit(False)
+        if lo is not None:
+            pred = pred | (col < F.lit(lo))
+        if hi is not None:
+            pred = pred | (col > F.lit(hi))
+        return col.isNotNull() & pred
+    raise ValueError(f"{check.kind} has no row-level predicate")
+
+
+def _agg_exprs(check: Check) -> list[Column]:
+    n = check.name
+    if check.kind in PREDICATE_KINDS:
+        return [F.count_if(violation_predicate(check)).alias(f"v_{n}")]
+    col = F.col(check.column)
+    if check.kind == "col_stats":
+        return [
+            F.min(col).alias(f"min_{n}"),
+            F.max(col).alias(f"max_{n}"),
+            F.avg(col).alias(f"mean_{n}"),
+            F.stddev_samp(col).alias(f"std_{n}"),
+        ]
+    if check.kind == "length_quantiles":
+        qs = list(check.p.get("qs", (0.5, 0.95, 0.99)))
+        return [
+            F.percentile_approx(col, qs, APPROX_PERCENTILE_ACCURACY).alias(f"q_{n}")
+        ]
+    if check.kind == "approx_distinct":
+        return [F.approx_count_distinct(col).alias(f"d_{n}")]
+    raise ValueError(f"unsupported stats kind {check.kind}")
+
+
+def _metric(check: Check) -> Column:
+    n = check.name
+    if check.kind in PREDICATE_KINDS:
+        # exact integer counts → deterministic rate (SURVEY.md §7.3.2)
+        return F.col(f"v_{n}") / F.col("n_rows")
+    if check.kind == "col_stats":
+        return F.col(f"mean_{n}")
+    if check.kind == "length_quantiles":
+        return F.element_at(F.col(f"q_{n}"), -1)  # verdict on the top quantile
+    if check.kind == "approx_distinct":
+        return F.col(f"d_{n}")
+    raise ValueError(check.kind)
+
+
+def compile_stats_pass(
+    df: DataFrame, checks: list[Check]
+) -> tuple[DataFrame, DataFrame | None]:
+    """All stats-family checks in one agg. ``df`` must already carry
+    ``partition_id`` (functions.with_partition_id). Returns (verdicts,
+    violations-or-None)."""
+    stats = [c for c in checks if c.kind in STATS_KINDS]
+    if not stats:
+        raise ValueError("no stats-family checks in contract")
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stats:
+        exprs.extend(_agg_exprs(c))
+    agg = df.groupBy("partition_id").agg(*exprs)
+
+    # Unpivot every check's verdict out of the ONE agg row per partition via
+    # inline(array(struct...)) — a single projection, so the scan+shuffle run
+    # exactly once no matter how many checks the contract carries.
+    structs = []
+    for c in stats:
+        metric = F.round(_metric(c).cast("double"), 9)
+        nv = (
+            F.col(f"v_{c.name}") if c.kind in PREDICATE_KINDS else F.lit(0)
+        ).cast("long")
+        structs.append(
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                threshold_pass_col(c, metric).alias("pass"),
+                metric.alias("metric_value"),
+                F.lit(float(c.threshold.value)).alias("threshold"),
+                nv.alias("n_violations"),
+            )
+        )
+    verdicts = agg.select(
+        F.col("partition_id").cast("int").alias("partition_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.inline(F.array(*structs)),
+    ).select(
+        "partition_id", "check_name", "pass", "metric_value", "threshold",
+        "n_rows", "n_violations",
+    )
+
+    violations = None
+    pred_checks = [c for c in stats if c.kind in PREDICATE_KINDS]
+    for c in pred_checks:
+        rows = df.filter(violation_predicate(c)).select(
+            F.lit(c.name).alias("check_name"),
+            F.col("repo"),
+            F.col("path"),
+            F.col("commit"),
+            F.format_string(
+                "%s: %s violates %s", F.lit(c.column), F.col(check_detail(c)), F.lit(c.kind)
+            ).alias("violation_detail"),
+            F.col("content_sha"),
+        )
+        violations = rows if violations is None else violations.unionByName(rows)
+    if violations is not None:
+        violations = violations.select(*VIOLATION_COLS)
+    return verdicts, violations
+
+
+def check_detail(check: Check) -> str:
+    """Column whose value to embed in violation_detail (the offending value,
+    or content_length for content-null checks where content itself is NULL)."""
+    if check.column == "content":
+        return "content_length"
+    return check.column

@@ -1,0 +1,131 @@
+"""Check contract — the declarative spec of what to validate.
+
+Analogue of RAQC's inicheck UserConfig ``.ini`` (SURVEY.md §3.1): a frozen,
+pure-Python IR with no Spark dependency. ``plan.compile_plan`` turns a
+Contract into lazy DataFrame DAGs; nothing here touches a SparkSession.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Threshold:
+    """Verdict rule: metric `op` value. op in {le, ge, lt, gt, eq}."""
+
+    op: str
+    value: float
+
+    def passes(self, metric: float) -> bool:
+        return {
+            "le": metric <= self.value,
+            "ge": metric >= self.value,
+            "lt": metric < self.value,
+            "gt": metric > self.value,
+            "eq": metric == self.value,
+        }[self.op]
+
+    def sql(self, metric_col: str) -> str:
+        op = {"le": "<=", "ge": ">=", "lt": "<", "gt": ">", "eq": "="}[self.op]
+        return f"{metric_col} {op} {self.value!r}"
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    """Explicit repo-hash partitioning (BASELINE.json:6).
+
+    ``partition_id = pmod(xxhash64(key), num_partitions)`` — the same
+    expression drives both the physical ``repartition`` and the verdict
+    grouping, so one shuffle is shared by all per-partition checks.
+    """
+
+    key: str = "repo"
+    num_partitions: int = 8
+    salt_buckets: int = 16  # for two-phase aggs over skewed mega-repos
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named check. ``kind`` selects the compiler in checks/registry."""
+
+    name: str
+    kind: str
+    column: str | None = None
+    threshold: Threshold = field(default_factory=lambda: Threshold("le", 0.0))
+    params: tuple[tuple[str, object], ...] = ()
+
+    @property
+    def p(self) -> dict:
+        return dict(self.params)
+
+
+@dataclass(frozen=True)
+class Contract:
+    """Full validation contract for a snapshot (pair)."""
+
+    checks: tuple[Check, ...]
+    partition_spec: PartitionSpec = field(default_factory=PartitionSpec)
+    schema_columns: tuple[str, ...] = ("repo", "path", "commit", "lang", "content")
+
+    def validate(self) -> None:
+        names = [c.name for c in self.checks]
+        if len(names) != len(set(names)):
+            raise ValueError(f"duplicate check names: {names}")
+        for c in self.checks:
+            if c.kind not in KNOWN_KINDS:
+                raise ValueError(f"unknown check kind {c.kind!r} in {c.name!r}")
+
+
+KNOWN_KINDS = frozenset(
+    {
+        "schema",
+        "null_rate",
+        "empty_content",
+        "bounds",
+        "col_stats",
+        "length_quantiles",
+        "approx_distinct",
+        "uniqueness",
+        "ref_integrity",
+        "drift_psi",
+        "drift_ks",
+        "hist2d_outlier",
+    }
+)
+
+
+def default_contract() -> Contract:
+    """The standard code-table contract (north_star checks, BASELINE.json:6)."""
+    return Contract(
+        checks=(
+            Check("schema", "schema"),
+            Check("null_rate_content", "null_rate", column="content",
+                  threshold=Threshold("le", 0.005)),
+            Check("null_rate_lang", "null_rate", column="lang",
+                  threshold=Threshold("le", 0.005)),
+            Check("empty_content", "empty_content", column="content",
+                  threshold=Threshold("le", 0.002)),
+            Check("bounds_content_length", "bounds", column="content_length",
+                  threshold=Threshold("le", 0.0),
+                  params=(("lo", 1), ("hi", 1_000_000))),
+            Check("length_quantiles", "length_quantiles", column="content_length",
+                  threshold=Threshold("le", 500_000.0),
+                  params=(("qs", (0.5, 0.95, 0.99)),)),
+            # informational stat: verdict passes for any count >= 0
+            Check("approx_distinct_path", "approx_distinct", column="path",
+                  threshold=Threshold("ge", 0.0)),
+            Check("uniqueness", "uniqueness",
+                  params=(("keys", ("repo", "path", "commit")),)),
+            Check("ref_integrity", "ref_integrity",
+                  params=(("keys", ("repo", "commit")),)),
+            Check("drift_psi_lang", "drift_psi", column="lang",
+                  threshold=Threshold("le", 0.2)),
+            Check("drift_ks_length", "drift_ks", column="content_length",
+                  threshold=Threshold("le", 0.15),
+                  # log-spaced bins over [1, e^14≈1.2M] chars: pinned edges →
+                  # no data-dependent pre-scan, stable goldens
+                  params=(("num_bins", 64), ("lo", 0.0), ("hi", 14.0),
+                          ("log_scale", True))),
+        )
+    )

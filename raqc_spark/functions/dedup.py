@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All JVM-side Column expressions — no Python in the hot path:
+
+- exact:   sha2(content) group-by (two-phase hash agg, map-side combined)
+- minhash: k independent hash fns via xxhash64(token, seed_i); LSH banding
+  turns O(n²) similarity into a per-band bucket join whose cost follows
+  bucket occupancy, not table size — the 100 TB path.
+- simhash: 64-bit sign-aggregated token hashes; near-dups share simhash
+  (or low hamming distance) — computed with bit arithmetic, grouped exactly.
+- ngram/unigram jaccard: exact token-set similarity via explode + equi-join
+  on token; quadratic in bucket size, so gate it behind candidate pairs
+  (from LSH) at scale. The driver-table query subsamples instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """One-row summary: total rows, distinct contents, duplicate rows."""
+    sha = F.sha2(F.col(text_col), 256)
+    return df.select(sha.alias("content_sha")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("content_sha").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("content_sha")).alias("n_dup_rows"),
+    )
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, token) distinct pairs — the shared base for jaccard/simhash."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs: n-word shingles. MinHash over unigrams
+    degenerates when documents share a small vocabulary (every token-SET is
+    near-identical); shingling restores discriminative power — the standard
+    pre-step for MinHash dedup. Pure higher-order array exprs, no UDF."""
+    toks = tokens_col(text_col)
+    shingles = F.expr(
+        f"transform(sequence(0, greatest(size(split(lower({text_col}), ' ')) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    tok: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over tokens of
+    xxhash64(token, i), computed as num_hashes ``min`` aggregates in ONE
+    groupBy — no explode, no collect_list. Partial aggregation collapses
+    each map task to one row per doc before the shuffle, so shuffled bytes
+    are O(docs × num_hashes × 8) regardless of token count."""
+    aggs = [
+        F.min(F.xxhash64("token", F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = tok.groupBy("doc").agg(*aggs)
+    return per_doc.select(
+        "doc", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a candidate
+    pair. Band signatures are hashed to one long; the bucket join is an
+    equi-join on (band, bucket_hash) — shuffle keys are uniform by
+    construction (hash values), so no skew/salting needed here."""
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc",
+        "band",
+        F.xxhash64(
+            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+            F.col("band"),
+        ).alias("bucket"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    sig: DataFrame, pairs: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+        )
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(tok: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc. Each token hash votes ±1 per bit; the sign
+    vector packs back into one long. tokens×64 rows flow through ONE
+    partial-agg'd groupBy — no Python, no UDF."""
+    bits = tok.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        F.xxhash64("token").alias("hv"),
+    ).select(
+        "doc",
+        "b",
+        F.expr("(CAST(shiftright(hv, CAST(b AS INT)) & 1 AS BIGINT) * 2 - 1)").alias(
+            "vote"
+        ),
+    )
+    return (
+        bits.groupBy("doc", "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def unigram_jaccard_pairs(
+    tok: DataFrame, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact token-set Jaccard for all co-token pairs. Quadratic in docs per
+    shared token — use on LSH candidates or subsampled inputs only."""
+    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(F.col("doc").alias("doc_a"), "token")
+    b = tok.select(F.col("doc").alias("doc_b"), "token")
+    common = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= F.lit(min_jaccard))

@@ -1,0 +1,101 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extract run as Arrow-batched pandas UDFs
+over ``mapInPandas``. The decode step itself is STUBBED in this container
+(no image/audio libs — round rules) behind ``HAVE_CODECS``: with libs absent
+a deterministic fake feature vector is derived from the payload bytes, so
+the Spark-side plumbing (schema, batching, partitioning) is fully real and
+tested while the codec call is the only swap-in point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_CODECS = True
+except Exception:
+    HAVE_CODECS = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Treat utf-8 text payloads as opaque binary media — the schema/partition
+    shape is identical for real image/audio bytes."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Arrow batch -> features. Real codec path gated on HAVE_CODECS."""
+    if HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError(
+            "real image/audio decode not wired in this container"
+        )
+    feats = []
+    for payload in pdf["payload"]:
+        if payload is None:
+            feats.append(None)
+            continue
+        b = bytes(payload)
+        # deterministic fake 8-dim feature from byte statistics
+        feats.append(
+            [
+                float(len(b)),
+                float(b[0]) if b else 0.0,
+                float(b[-1]) if b else 0.0,
+                float(sum(b[:64]) % 997),
+                float(min(b) if b else 0),
+                float(max(b) if b else 0),
+                float(len(set(b[:256]))),
+                float((len(b) * 2654435761) % 1000003),
+            ]
+        )
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "n_bytes": pdf["n_bytes"],
+            "feature": feats,
+        }
+    )
+
+
+def extract_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction — Arrow-batched, partition-parallel.
+    At scale, repartition upstream so each task holds O(batch) payloads in
+    memory (payloads are the wide column; never groupBy them)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                yield _decode_batch(pdf.iloc[start : start + batch_rows])
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

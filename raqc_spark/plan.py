@@ -1,0 +1,172 @@
+"""Contract -> lazy DataFrame DAGs (the engine's logical->physical bridge).
+
+``compile_plan`` groups the contract's checks into *check families* that
+share a scan/shuffle (SURVEY.md §4.3 "single shared scan for many checks"):
+
+- ``stats``      — every stats-family check fused into ONE agg pass
+- ``uniqueness`` — keyed duplicate detection (J3/A5)
+- ``ref``        — broadcast anti-join vs the commits dim (J2)
+- ``hist``       — 2D-histogram outlier flagging (A6/W2)
+- ``drift``      — snapshot-pair PSI/KS (J4/W3), needs snapshot 1
+
+Everything stays lazy; actions happen only in the runner's sinks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raqc_spark.checks.drift import drift_ks, drift_psi, hist2d_outlier_check
+from raqc_spark.checks.integrity import ref_integrity_check
+from raqc_spark.checks.stats import STATS_KINDS, compile_stats_pass
+from raqc_spark.checks.uniqueness import uniqueness_check
+from raqc_spark.contract import Check, Contract
+from raqc_spark.functions import with_derived, with_partition_id
+from raqc_spark.results import VERDICT_COLS, VERDICT_SCHEMA
+
+
+def prepare(df: DataFrame, contract: Contract) -> DataFrame:
+    """Derived columns + explicit repo-hash partition id (one projection,
+    fully codegen'd — no shuffle here; the partition id column aligns every
+    later per-partition groupBy on the same key)."""
+    return with_partition_id(with_derived(df), contract.partition_spec)
+
+
+def schema_check(
+    spark: SparkSession, schema, contract: Contract, check: Check
+) -> DataFrame:
+    """Check #0: declared source schema present with string types
+    (SURVEY.md §1.2 'schema check is itself check #0'). Global verdict row
+    (partition_id = -1); runs on metadata only — no scan. Takes the RAW
+    source schema (before prepare() drops the content column)."""
+    actual = {f.name: f.dataType.simpleString() for f in schema.fields}
+    missing = [c for c in contract.schema_columns if c not in actual]
+    wrong = [
+        c
+        for c in contract.schema_columns
+        if c in actual and actual[c] != "string"
+    ]
+    ok = not missing and not wrong
+    detail = 0.0 if ok else float(len(missing) + len(wrong))
+    row = [(-1, check.name, ok, detail, 0.0, 0, int(detail))]
+    return spark.createDataFrame(row, schema=VERDICT_SCHEMA)
+
+
+@dataclass(frozen=True)
+class CompiledFamily:
+    """A lazily-compiled group of checks sharing one scan pattern."""
+
+    name: str
+    checks: tuple[Check, ...]
+    # () -> (verdicts, violations|None)
+    build: Callable[[], tuple[DataFrame, DataFrame | None]]
+
+
+def compile_plan(
+    spark: SparkSession,
+    contract: Contract,
+    s2: DataFrame,
+    s1: DataFrame | None = None,
+    commits_dim: DataFrame | None = None,
+    raw_schema=None,
+) -> list[CompiledFamily]:
+    """Compile the contract against prepared snapshot DataFrames.
+
+    ``s2`` is the snapshot under validation; ``s1`` the previous snapshot
+    (drift checks); ``commits_dim`` the referential dim. Pass DataFrames
+    already run through ``prepare``; ``raw_schema`` is the pre-prepare
+    source schema for the schema check (prepare drops ``content``).
+    """
+    contract.validate()
+    by_kind: dict[str, list[Check]] = {}
+    for c in contract.checks:
+        by_kind.setdefault(c.kind, []).append(c)
+
+    families: list[CompiledFamily] = []
+
+    schema_checks = by_kind.pop("schema", [])
+    if schema_checks:
+        chk = schema_checks[0]
+        schema = raw_schema if raw_schema is not None else s2.schema
+        families.append(
+            CompiledFamily(
+                "schema",
+                (chk,),
+                lambda chk=chk, schema=schema: (
+                    schema_check(spark, schema, contract, chk),
+                    None,
+                ),
+            )
+        )
+
+    stats = [c for k, cs in by_kind.items() if k in STATS_KINDS for c in cs]
+    if stats:
+        families.append(
+            CompiledFamily(
+                "stats", tuple(stats), lambda: compile_stats_pass(s2, stats)
+            )
+        )
+
+    for chk in by_kind.get("uniqueness", []):
+        families.append(
+            CompiledFamily(
+                f"uniqueness:{chk.name}",
+                (chk,),
+                lambda chk=chk: uniqueness_check(s2, chk),
+            )
+        )
+
+    for chk in by_kind.get("ref_integrity", []):
+        if commits_dim is None:
+            raise ValueError(f"{chk.name} requires commits_dim")
+        families.append(
+            CompiledFamily(
+                f"ref:{chk.name}",
+                (chk,),
+                lambda chk=chk: ref_integrity_check(s2, commits_dim, chk),
+            )
+        )
+
+    for chk in by_kind.get("hist2d_outlier", []):
+        families.append(
+            CompiledFamily(
+                f"hist:{chk.name}",
+                (chk,),
+                lambda chk=chk: hist2d_outlier_check(s2, chk),
+            )
+        )
+
+    drift_checks = by_kind.get("drift_psi", []) + by_kind.get("drift_ks", [])
+    for chk in drift_checks:
+        if s1 is None:
+            raise ValueError(f"{chk.name} requires previous snapshot s1")
+        if chk.kind == "drift_psi":
+            families.append(
+                CompiledFamily(
+                    f"drift:{chk.name}",
+                    (chk,),
+                    lambda chk=chk: (drift_psi(s1, s2, chk)[0], None),
+                )
+            )
+        else:
+            families.append(
+                CompiledFamily(
+                    f"drift:{chk.name}",
+                    (chk,),
+                    lambda chk=chk: (drift_ks(s1, s2, chk)[0], None),
+                )
+            )
+
+    return families
+
+
+def union_verdicts(parts: list[DataFrame]) -> DataFrame:
+    out = None
+    for p in parts:
+        p = p.select(*VERDICT_COLS)
+        out = p if out is None else out.unionByName(p)
+    return out

@@ -1,0 +1,277 @@
+"""Training-data pipeline operators as driver-checkable queries.
+
+Dedup / similarity-search / text-analysis / multimodal ops over the
+``documents`` and ``embeddings`` tables (round brief: first-class alongside
+SURVEY.md §2). Oracle-less entries (minhash/simhash/LSH — xxhash64 has no
+DuckDB twin) get rows-only driver checks plus pinned unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raqc_spark.functions.dedup import (
+    doc_shingles,
+    doc_tokens,
+    exact_dedup_stats,
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    simhash,
+    unigram_jaccard_pairs,
+)
+from raqc_spark.functions.multimodal import documents_as_media, extract_features
+from raqc_spark.functions.simsearch import cosine_topk, lsh_cosine_topk
+from raqc_spark.functions.text import (
+    fingerprint_col,
+    lang_id_col,
+    lang_id_sql,
+    quality_cols,
+    token_count_col,
+)
+from raqc_spark.sources.testdata import load_table
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_stats(d, "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT sha256(text)) AS n_distinct,
+       count(*) - count(DISTINCT sha256(text)) AS n_dup_rows
+FROM documents
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact unigram Jaccard pairs on a deterministic subsample (the full
+    quadratic join is gated behind LSH candidates at scale)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    tok = doc_tokens(d, "doc_id")
+    return unigram_jaccard_pairs(tok, min_jaccard=0.12)
+
+
+SQL_DEDUP_JACCARD = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+tok AS (
+  SELECT DISTINCT doc_id AS doc, t.token
+  FROM docs, unnest(string_split(lower(text), ' ')) AS t(token)
+  WHERE length(t.token) > 0),
+sizes AS (SELECT doc, count(*) AS sz FROM tok GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = common.doc_a
+JOIN sizes sb ON sb.doc = common.doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) >= 0.12
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates over 3-word shingles, with estimated
+    Jaccard (rows-only: xxhash64-based signatures have no DuckDB twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = doc_shingles(d, "doc_id", n=3)
+    # signatures feed three consumers (banding + both estimate sides):
+    # persist the tiny (docs × 64 longs) table instead of recomputing
+    sig = minhash_signatures(tok, num_hashes=64).persist()
+    pairs = lsh_candidate_pairs(sig, num_hashes=64, bands=16)
+    return minhash_jaccard_estimate(sig, pairs, num_hashes=64).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document (rows-only; deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(doc_tokens(d, "doc_id"))
+
+
+# -------------------------------------------------------------- simsearch
+
+
+def q_simsearch_cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+SQL_SIMSEARCH_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         round(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM q JOIN e c ON c.vec_id != q.q_id)
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+
+def q_simsearch_lsh(spark, sf_dir):
+    """Sign-random-projection bucketed ANN (rows-only; scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(e, k=3, num_planes=6)
+
+
+# ------------------------------------------------------------------- text
+
+
+def q_text_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("predicted", lang_id_col("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_TEXT_LANG_ID = f"""
+SELECT lang, {lang_id_sql("text")} AS predicted, count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    qc = quality_cols("text")
+    per_doc = d.select(
+        "lang",
+        qc["n_chars"].alias("n_chars"),
+        qc["n_tokens"].alias("n_tokens"),
+        qc["alpha_ratio"].alias("alpha_ratio"),
+        qc["space_ratio"].alias("space_ratio"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+        F.round(F.avg("space_ratio"), 4).alias("avg_space_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH per_doc AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text), 6) AS alpha_ratio,
+         round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+               / length(text), 6) AS space_ratio
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
+       round(avg(space_ratio), 4) AS avg_space_ratio
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col("text")).alias("total_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn("fp", fingerprint_col("text")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS n_fingerprints
+FROM documents GROUP BY source
+"""
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def q_multimodal_meta(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(d)
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT 'text/plain' AS media_type, count(*) AS n_media,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction (decode stubbed —
+    deterministic fake; rows-only check)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(d))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 2).alias("f_len"),
+        F.round(F.element_at("feature", 7), 2).alias("f_card"),
+    )
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "simsearch_cosine_topk": q_simsearch_cosine_topk,
+    "simsearch_lsh": q_simsearch_lsh,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+}
+
+PIPELINE_ORACLE = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    # dedup_minhash_lsh / dedup_simhash / simsearch_lsh /
+    # multimodal_features: rows-only (xxhash64 & pandas-UDF paths)
+    "simsearch_cosine_topk": SQL_SIMSEARCH_COSINE_TOPK,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

@@ -1,0 +1,128 @@
+"""run_contract — lifecycle orchestration with checkpoint/resume.
+
+Analogue of RAQC's eager CLI pipeline (SURVEY.md §3.1), but lazy and
+resumable (BASELINE.json:14 "resumable from checkpoint with per-partition
+lineage + metrics"):
+
+- each check *family* (shared-scan group, plan.compile_plan) executes as one
+  Spark job writing its violations to ``<run_dir>/violations/family=<id>/``;
+- after a family completes, a manifest entry is appended **atomically**
+  (write-tmp-then-rename, SURVEY.md §7.3.4) carrying per-partition lineage:
+  n_rows, n_violations, metric and pass per (check, partition_id);
+- re-running with the same run_dir skips completed families (their verdicts
+  are reconstructed from the manifest — no recompute, no rescan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from raqc_spark.contract import Contract
+from raqc_spark.plan import CompiledFamily, compile_plan, prepare, union_verdicts
+from raqc_spark.results import VERDICT_SCHEMA
+
+
+def _safe(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+
+
+@dataclass
+class RunResult:
+    verdicts: DataFrame
+    run_dir: str
+    families_run: list[str]
+    families_skipped: list[str]
+
+    @property
+    def passed(self) -> bool:
+        return self.verdicts.filter("NOT pass").count() == 0
+
+
+class Manifest:
+    """Append-only JSON checkpoint manifest, atomically swapped per entry."""
+
+    def __init__(self, run_dir: str) -> None:
+        self.path = os.path.join(run_dir, "manifest.json")
+
+    def load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {"families": {}}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def complete_family(self, family: str, verdict_rows: list[dict]) -> None:
+        data = self.load()
+        data["families"][family] = {"verdicts": verdict_rows}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def completed(self) -> dict[str, list[dict]]:
+        return {k: v["verdicts"] for k, v in self.load()["families"].items()}
+
+
+def _run_family(
+    fam: CompiledFamily, run_dir: str, manifest: Manifest
+) -> list[dict]:
+    verdicts, violations = fam.build()
+    if violations is not None:
+        out = os.path.join(run_dir, "violations", f"family={_safe(fam.name)}")
+        # parquet overwrite of the family dir is idempotent; the manifest
+        # entry (written only after success) is the commit point.
+        violations.write.mode("overwrite").parquet(out)
+    rows = [r.asDict() for r in verdicts.collect()]  # tiny: P × checks rows
+    manifest.complete_family(fam.name, rows)
+    return rows
+
+
+def run_contract(
+    spark: SparkSession,
+    contract: Contract,
+    s2: DataFrame,
+    s1: DataFrame | None = None,
+    commits_dim: DataFrame | None = None,
+    run_dir: str = "/tmp/raqc_spark_run",
+    resume: bool = True,
+    cache: bool = True,
+) -> RunResult:
+    """Run the full contract; returns verdicts + writes violation sinks.
+
+    ``cache=True`` persists the prepared snapshot across check families
+    (right call in local/bench mode; on a 100 TB cluster rely on the
+    shared-scan fusion instead and pass cache=False).
+    """
+    os.makedirs(run_dir, exist_ok=True)
+    manifest = Manifest(run_dir)
+    done = manifest.completed() if resume else {}
+
+    s2p = prepare(s2, contract)
+    s1p = prepare(s1, contract) if s1 is not None else None
+    if cache:
+        s2p = s2p.persist()
+
+    families = compile_plan(spark, contract, s2p, s1p, commits_dim, raw_schema=s2.schema)
+    all_rows: list[dict] = []
+    ran, skipped = [], []
+    try:
+        for fam in families:
+            if fam.name in done:
+                all_rows.extend(done[fam.name])
+                skipped.append(fam.name)
+                continue
+            all_rows.extend(_run_family(fam, run_dir, manifest))
+            ran.append(fam.name)
+    finally:
+        if cache:
+            s2p.unpersist()
+
+    verdicts = spark.createDataFrame(
+        [tuple(r[f.name] for f in VERDICT_SCHEMA.fields) for r in all_rows],
+        schema=VERDICT_SCHEMA,
+    )
+    return RunResult(verdicts, run_dir, ran, skipped)

@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Local-mode defaults are tuned for the sandbox (single JVM); on a real
+cluster the same builder is used minus the master override, and
+spark-submit supplies executor topology (SURVEY.md §3.2 entry point 3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine-standard conf. AQE on: runtime coalescing + skew-join splitting are
+# load-bearing at 10^12-file scale (BASELINE.json:6 "AQE-assisted skew-join").
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local mode: shuffle partitions ~ cores, not the 200 default
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("RAQC_DRIVER_MEM", "16g"),
+}
+
+
+def get_spark(
+    app_name: str = "raqc_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``
+    (or all cores). Pass an explicit master for scaling benchmarks
+    (``local[8]`` vs ``local[32]``, SURVEY.md §0.3).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

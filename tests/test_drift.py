@@ -1,0 +1,70 @@
+"""Snapshot-pair tests: alignment, PSI, binned-ECDF KS (SURVEY.md §5.2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raqc_spark.checks.drift import align_snapshots, drift_ks, drift_psi
+from raqc_spark.contract import Check, PartitionSpec, Threshold, default_contract
+from raqc_spark.functions import partition_id_col
+from raqc_spark.plan import prepare
+
+
+def test_align_snapshots_statuses(spark, snapshots, code_fixture):
+    fx, _ = code_fixture
+    s1, s2, _ = snapshots
+    c = default_contract()
+    aligned = align_snapshots(prepare(s1, c), prepare(s2, c))
+    counts = {r["status"]: r["cnt"] for r in
+              aligned.groupBy("status").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"added", "removed", "modified", "unchanged"}
+    # ~5% of s1 deleted, +15% new (plus injected dup/new rows)
+    assert counts["removed"] > 0 and counts["added"] > 0
+    assert counts["unchanged"] > counts["modified"]
+
+
+def test_psi_self_is_zero(spark, snapshots):
+    """Property: PSI(A, A) == 0 (SURVEY.md §5.2.4)."""
+    s1, _, _ = snapshots
+    df = prepare(s1, default_contract())
+    chk = Check("psi_lang", "drift_psi", column="lang", threshold=Threshold("le", 0.2))
+    verdicts, _ = drift_psi(df, df, chk)
+    assert verdicts.filter(F.abs("metric_value") > 1e-9).count() == 0
+    assert verdicts.filter("NOT pass").count() == 0
+
+
+def test_ks_self_is_zero(spark, snapshots):
+    s1, _, _ = snapshots
+    df = prepare(s1, default_contract())
+    chk = Check("ks_len", "drift_ks", column="content_length",
+                threshold=Threshold("le", 0.15), params=(("num_bins", 64),))
+    verdicts, _ = drift_ks(df, df, chk)
+    assert verdicts.filter(F.abs("metric_value") > 1e-9).count() == 0
+
+
+def test_drift_fails_only_injected_partitions(spark, snapshots):
+    """V8 flips lang in repo_0007..0009; V9 shifts lengths in repo_0003 —
+    drift must fail for (at least) those partitions and pass elsewhere."""
+    s1, s2, _ = snapshots
+    c = default_contract()
+    d1, d2 = prepare(s1, c), prepare(s2, c)
+    spec = c.partition_spec
+
+    pids = {
+        r["repo"]: r["pid"]
+        for r in spark.createDataFrame(
+            [(f"repo_{i:04d}",) for i in range(16)], ["repo"]
+        ).select("repo", partition_id_col(spec).alias("pid")).collect()
+    }
+
+    chk = Check("psi_lang", "drift_psi", column="lang", threshold=Threshold("le", 0.1))
+    verdicts, _ = drift_psi(d1, d2, chk)
+    failed = {r["partition_id"] for r in verdicts.filter("NOT pass").collect()}
+    drifted = {pids[f"repo_{i:04d}"] for i in (7, 8, 9)}
+    assert drifted & failed, f"expected drifted partitions {drifted} to fail, got {failed}"
+
+    chk2 = Check("ks_len", "drift_ks", column="content_length",
+                 threshold=Threshold("le", 0.2), params=(("num_bins", 64),))
+    v2, _ = drift_ks(d1, d2, chk2)
+    failed_ks = {r["partition_id"] for r in v2.filter("NOT pass").collect()}
+    assert pids["repo_0003"] in failed_ks
