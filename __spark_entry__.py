@@ -51,10 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator (SURVEY.md §2 + pipeline ops)."""
     from raqc_spark.queries_core import CORE_QUERIES
+    from raqc_spark.queries_extra import EXTRA_QUERIES
     from raqc_spark.queries_pipeline import PIPELINE_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(CORE_QUERIES)
+    out.update(EXTRA_QUERIES)
     out.update(PIPELINE_QUERIES)
     return out
 
@@ -62,9 +64,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-ANSI equivalents (keys omitted -> rows-only driver check)."""
     from raqc_spark.queries_core import CORE_ORACLE
+    from raqc_spark.queries_extra import EXTRA_ORACLE
     from raqc_spark.queries_pipeline import PIPELINE_ORACLE
 
     out: dict[str, str] = {}
     out.update(CORE_ORACLE)
+    out.update(EXTRA_ORACLE)
     out.update(PIPELINE_ORACLE)
     return out

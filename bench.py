@@ -40,16 +40,16 @@ HEADLINE = [
 ]
 
 
-def bench_fixture_dir() -> str:
+def bench_fixture_dir(n_files: int = BENCH_FIXTURE_FILES) -> str:
     """Generate-once cache of the bench-scale code fixture."""
-    root = os.path.join(REPO, "BENCH", "fixtures", f"code_{BENCH_FIXTURE_FILES}")
+    root = os.path.join(REPO, "BENCH", "fixtures", f"code_{n_files}")
     marker = os.path.join(root, "_complete")
     if not os.path.exists(marker):
         from fixtures.generate import generate, write_fixture
 
         if os.path.isdir(root):
             shutil.rmtree(root)
-        fx = generate(n_files=BENCH_FIXTURE_FILES, n_repos=64, seed=42)
+        fx = generate(n_files=n_files, n_repos=64, seed=42)
         write_fixture(fx, root)
         open(marker, "w").write("ok")
     return root

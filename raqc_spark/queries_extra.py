@@ -1,0 +1,247 @@
+"""Additional SURVEY.md §2 operator coverage: dim joins, rollup/pivot
+reports, as-of join, sessionization, set ops, per-group top-k, histogram
+outlier flagging — each with an exact DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from raqc_spark.checks.drift import bucket_col
+from raqc_spark.sources.testdata import load_table
+
+
+def q_scan_dim(spark, sf_dir):
+    """S2: ancillary dim scan + broadcast join (nation -> region)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+SQL_SCAN_DIM = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_report_rollup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+    )
+
+
+SQL_REPORT_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(grouping(o_orderstatus) AS INT) AS g_st,
+       CAST(grouping(o_orderpriority) AS INT) AS g_pr
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_report_pivot(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+SQL_REPORT_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one): each click event paired with
+    the user's most recent PRIOR purchase — conditional last() over an
+    ordered window, one shuffle on user_id, no range-join blowup."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_purchase_ts", prior_purchase)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT event_id, user_id, ts, last_purchase_ts FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_purchase_ts
+  FROM events)
+WHERE event_type = 'click'
+"""
+
+
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30 min): lag + cumulative new-session sum."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # TIMESTAMP_NTZ can't cast straight to long; hop via TIMESTAMP (UTC session)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """U2: set algebra over user cohorts (intersect / except / union)."""
+    e = load_table(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).count()
+    click_only = clickers.exceptAll(buyers).count()
+    either = clickers.union(buyers).distinct().count()
+    return load_table(spark, sf_dir, "region").limit(1).select(
+        F.lit(both).alias("n_both"),
+        F.lit(click_only).alias("n_click_only"),
+        F.lit(either).alias("n_either"),
+    )
+
+
+SQL_SET_OPS = """
+SELECT
+  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type='click'
+                         INTERSECT
+                         SELECT DISTINCT user_id FROM events WHERE event_type='purchase'))
+    AS n_both,
+  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type='click'
+                         EXCEPT
+                         SELECT DISTINCT user_id FROM events WHERE event_type='purchase'))
+    AS n_click_only,
+  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type='click'
+                         UNION
+                         SELECT DISTINCT user_id FROM events WHERE event_type='purchase'))
+    AS n_either
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 parts by retail price per brand (rank on rounded metric + key
+    so the selected set is deterministic)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc(F.round("p_retailprice", 2)), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            "rk",
+        )
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY round(p_retailprice, 2) DESC,
+                                     p_partkey ASC) AS rk
+  FROM part)
+WHERE rk <= 3
+"""
+
+
+def q_hist_outlier(spark, sf_dir):
+    """RAQC's 2D-histogram outlier cut on driver data: docs in rare
+    (lang × n_chars-bucket) cells (raw count < 3) counted per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    b = bucket_col(F.col("n_chars"), 0.0, 600.0, 12).alias("len_bucket")
+    tagged = d.select("doc_id", "lang", b)
+    cells = tagged.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rare = cells.filter(F.col("cnt") < 3).select("lang", "len_bucket")
+    return (
+        tagged.join(F.broadcast(rare), ["lang", "len_bucket"], "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_outlier_docs"))
+    )
+
+
+SQL_HIST_OUTLIER = """
+WITH tagged AS (
+  SELECT doc_id, lang,
+         CAST(least(greatest(floor((n_chars - 0.0) / 50.0), 0), 11) AS INT)
+           AS len_bucket
+  FROM documents),
+cells AS (SELECT lang, len_bucket, count(*) AS cnt FROM tagged GROUP BY 1, 2),
+rare AS (SELECT lang, len_bucket FROM cells WHERE cnt < 3)
+SELECT t.lang, count(*) AS n_outlier_docs
+FROM tagged t SEMI JOIN rare r ON t.lang = r.lang AND t.len_bucket = r.len_bucket
+GROUP BY t.lang
+"""
+
+
+EXTRA_QUERIES = {
+    "scan_dim": q_scan_dim,
+    "report_rollup": q_report_rollup,
+    "report_pivot": q_report_pivot,
+    "asof_join": q_asof_join,
+    "sessionization": q_sessionization,
+    "set_ops": q_set_ops,
+    "topk_per_group": q_topk_per_group,
+    "hist_outlier": q_hist_outlier,
+}
+
+EXTRA_ORACLE = {
+    "scan_dim": SQL_SCAN_DIM,
+    "report_rollup": SQL_REPORT_ROLLUP,
+    "report_pivot": SQL_REPORT_PIVOT,
+    "asof_join": SQL_ASOF_JOIN,
+    "sessionization": SQL_SESSIONIZATION,
+    "set_ops": SQL_SET_OPS,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "hist_outlier": SQL_HIST_OUTLIER,
+}
