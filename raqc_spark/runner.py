@@ -18,6 +18,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,10 +46,12 @@ class RunResult:
 
 
 class Manifest:
-    """Append-only JSON checkpoint manifest, atomically swapped per entry."""
+    """Append-only JSON checkpoint manifest, atomically swapped per entry.
+    Thread-safe: families complete concurrently (run_contract pool)."""
 
     def __init__(self, run_dir: str) -> None:
         self.path = os.path.join(run_dir, "manifest.json")
+        self._lock = threading.Lock()
 
     def load(self) -> dict:
         if not os.path.exists(self.path):
@@ -56,12 +60,13 @@ class Manifest:
             return json.load(f)
 
     def complete_family(self, family: str, verdict_rows: list[dict]) -> None:
-        data = self.load()
-        data["families"][family] = {"verdicts": verdict_rows}
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f, sort_keys=True)
-        os.replace(tmp, self.path)
+        with self._lock:
+            data = self.load()
+            data["families"][family] = {"verdicts": verdict_rows}
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(data, f, sort_keys=True)
+            os.replace(tmp, self.path)
 
     def completed(self) -> dict[str, list[dict]]:
         return {k: v["verdicts"] for k, v in self.load()["families"].items()}
@@ -109,14 +114,28 @@ def run_contract(
     families = compile_plan(spark, contract, s2p, s1p, commits_dim, raw_schema=s2.schema)
     all_rows: list[dict] = []
     ran, skipped = [], []
+    to_run = []
+    for fam in families:
+        if fam.name in done:
+            all_rows.extend(done[fam.name])
+            skipped.append(fam.name)
+        else:
+            to_run.append(fam)
     try:
-        for fam in families:
-            if fam.name in done:
-                all_rows.extend(done[fam.name])
-                skipped.append(fam.name)
-                continue
-            all_rows.extend(_run_family(fam, run_dir, manifest))
-            ran.append(fam.name)
+        if cache and to_run:
+            s2p.count()  # materialize the cache once before fan-out
+        # Families are independent DAGs -> submit them from concurrent
+        # driver threads; Spark's scheduler interleaves their stages so
+        # small stages don't serialize the whole contract (FAIR-ish use of
+        # the cluster without touching scheduler pools).
+        with ThreadPoolExecutor(max_workers=max(1, len(to_run))) as pool:
+            futures = [
+                pool.submit(_run_family, fam, run_dir, manifest)
+                for fam in to_run
+            ]
+            for fam, fut in zip(to_run, futures, strict=True):
+                all_rows.extend(fut.result())
+                ran.append(fam.name)
     finally:
         if cache:
             s2p.unpersist()
