@@ -67,7 +67,7 @@ def run_contract_bench(spark, fixture_root: str) -> dict:
     t0 = time.perf_counter()
     res = run_contract(
         spark, default_contract(), s2, s1=s1, commits_dim=commits,
-        run_dir=run_dir, resume=False,
+        run_dir=run_dir, resume=False, granularity="run",
     )
     res.verdicts.collect()
     wall = time.perf_counter() - t0

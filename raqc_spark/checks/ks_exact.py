@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ks_exact_by_partition(
@@ -20,10 +21,10 @@ def ks_exact_by_partition(
 ) -> DataFrame:
     """Exact two-sample KS statistic per partition_id (numpy, Arrow batches)."""
     df1 = s1.select("partition_id", s1[column].alias("val")).withColumn(
-        "side", _lit_side(1)
+        "side", F.lit(1)
     )
     df2 = s2.select("partition_id", s2[column].alias("val")).withColumn(
-        "side", _lit_side(2)
+        "side", F.lit(2)
     )
     both = df1.unionByName(df2)
 
@@ -44,9 +45,3 @@ def ks_exact_by_partition(
     return both.groupBy("partition_id").applyInPandas(
         ks, schema="partition_id int, ks double"
     )
-
-
-def _lit_side(v: int):
-    from pyspark.sql import functions as F
-
-    return F.lit(v)

@@ -25,7 +25,7 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
 
 
-def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row summary: total rows, distinct contents, duplicate rows."""
     sha = F.sha2(F.col(text_col), 256)
     return df.select(sha.alias("content_sha")).agg(

@@ -245,3 +245,78 @@ EXTRA_ORACLE = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "hist_outlier": SQL_HIST_OUTLIER,
 }
+
+
+def q_json_extract(spark, sf_dir):
+    """§2.8 json/scalar ops: extract props.k per event_type (JVM-side
+    get_json_object — no Python in the path)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_run_contract_verdicts(spark, sf_dir):
+    """Lifecycle surface (S3/S4: checkpoint_write + sink_verdicts): the full
+    contract over driver documents mapped to the code-table shape; returns
+    the verdict rows read back from the run's sinks (rows-only check)."""
+    import tempfile
+
+    from __spark_entry__ import _documents_as_code_table
+    from raqc_spark.contract import default_contract
+    from raqc_spark.runner import run_contract
+
+    s2 = _documents_as_code_table(spark, sf_dir)
+    s1 = s2.filter(F.xxhash64("path") % 2 == 0)
+    commits = s2.select("repo", "commit").distinct()
+    res = run_contract(
+        spark, default_contract(), s2, s1=s1, commits_dim=commits,
+        run_dir=tempfile.mkdtemp(prefix="raqc_q_"), resume=False,
+    )
+    return res.verdicts
+
+
+EXTRA_QUERIES["json_extract"] = q_json_extract
+EXTRA_QUERIES["run_contract_verdicts"] = q_run_contract_verdicts
+EXTRA_ORACLE["json_extract"] = SQL_JSON_EXTRACT
+
+
+def q_check_embedding_schema(spark, sf_dir):
+    """ArrayType schema check (FIXTURES.md F3): every embedding must be a
+    64-dim vector with finite norm; per-label rollup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim_ok = F.size("embedding") == 64
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_if(~dim_ok).alias("n_bad_dim"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+    )
+
+
+SQL_CHECK_EMBEDDING_SCHEMA = """
+SELECT label, count(*) AS n_vecs,
+       CAST(coalesce(sum(CASE WHEN len(embedding) != 64 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_bad_dim,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 4)
+         AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+EXTRA_QUERIES["check_embedding_schema"] = q_check_embedding_schema
+EXTRA_ORACLE["check_embedding_schema"] = SQL_CHECK_EMBEDDING_SCHEMA

@@ -37,7 +37,7 @@ from raqc_spark.sources.testdata import load_table
 
 def q_dedup_exact(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return exact_dedup_stats(d, "doc_id")
+    return exact_dedup_stats(d)
 
 
 SQL_DEDUP_EXACT = """

@@ -86,6 +86,36 @@ def _run_family(
     return rows
 
 
+def _run_batched(
+    families: list[CompiledFamily], run_dir: str, manifest: Manifest
+) -> list[dict]:
+    """granularity='run': union every family's violations into ONE write and
+    every family's verdicts into ONE collect (two actions total), then split
+    the collected rows back out into per-family manifest entries."""
+    from pyspark.sql import functions as F
+
+    verdict_parts, viol_parts = [], []
+    for fam in families:
+        v, viol = fam.build()
+        verdict_parts.append(v)
+        if viol is not None:
+            viol_parts.append(viol.withColumn("family", F.lit(_safe(fam.name))))
+    if viol_parts:
+        allv = viol_parts[0]
+        for p in viol_parts[1:]:
+            allv = allv.unionByName(p)
+        out = os.path.join(run_dir, "violations")
+        allv.write.mode("overwrite").partitionBy("family").parquet(out)
+    rows = [r.asDict() for r in union_verdicts(verdict_parts).collect()]
+    by_check: dict[str, list[dict]] = {}
+    for r in rows:
+        by_check.setdefault(r["check_name"], []).append(r)
+    for fam in families:
+        fam_rows = [r for c in fam.checks for r in by_check.get(c.name, [])]
+        manifest.complete_family(fam.name, fam_rows)
+    return rows
+
+
 def run_contract(
     spark: SparkSession,
     contract: Contract,
@@ -95,12 +125,22 @@ def run_contract(
     run_dir: str = "/tmp/raqc_spark_run",
     resume: bool = True,
     cache: bool = True,
+    granularity: str = "family",
 ) -> RunResult:
     """Run the full contract; returns verdicts + writes violation sinks.
 
     ``cache=True`` persists the prepared snapshot across check families
     (right call in local/bench mode; on a 100 TB cluster rely on the
     shared-scan fusion instead and pass cache=False).
+
+    ``granularity`` — checkpoint/action granularity:
+      * ``"family"``: one violations write + one verdict collect per check
+        family; resumable at family level (the default).
+      * ``"run"``: the whole contract executes as TWO actions — one union
+        violations write, one union verdict collect. ~5x fewer job barriers,
+        the right mode for throughput runs; the manifest still records
+        per-family (and per-partition) lineage afterwards, so a re-run
+        resumes family-wise either way.
     """
     os.makedirs(run_dir, exist_ok=True)
     manifest = Manifest(run_dir)
@@ -124,18 +164,25 @@ def run_contract(
     try:
         if cache and to_run:
             s2p.count()  # materialize the cache once before fan-out
-        # Families are independent DAGs -> submit them from concurrent
-        # driver threads; Spark's scheduler interleaves their stages so
-        # small stages don't serialize the whole contract (FAIR-ish use of
-        # the cluster without touching scheduler pools).
-        with ThreadPoolExecutor(max_workers=max(1, len(to_run))) as pool:
-            futures = [
-                pool.submit(_run_family, fam, run_dir, manifest)
-                for fam in to_run
-            ]
-            for fam, fut in zip(to_run, futures, strict=True):
-                all_rows.extend(fut.result())
-                ran.append(fam.name)
+        if granularity == "run" and to_run:
+            all_rows.extend(_run_batched(to_run, run_dir, manifest))
+            ran.extend(f.name for f in to_run)
+        else:
+            # Families are independent DAGs -> submit them from concurrent
+            # driver threads; Spark's scheduler interleaves their stages so
+            # small stages don't serialize the whole contract (FAIR-ish use
+            # of the cluster without touching scheduler pools).
+            workers = int(os.environ.get("RAQC_FAMILY_WORKERS", "0")) or max(
+                1, len(to_run)
+            )
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futures = [
+                    pool.submit(_run_family, fam, run_dir, manifest)
+                    for fam in to_run
+                ]
+                for fam, fut in zip(to_run, futures, strict=True):
+                    all_rows.extend(fut.result())
+                    ran.append(fam.name)
     finally:
         if cache:
             s2p.unpersist()

@@ -22,7 +22,10 @@ ENGINE_CONF: dict[str, str] = {
     # local mode: shuffle partitions ~ cores, not the 200 default
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("RAQC_DRIVER_MEM", "16g"),
+    # local mode: the driver heap is the only executor memory. Undersizing it
+    # turns the 1 MB-content outlier rows into G1 old-gen churn — measured as
+    # identical runs burning 2x CPU in GC. 48g on the 128 GiB sandbox host.
+    "spark.driver.memory": os.environ.get("RAQC_DRIVER_MEM", "48g"),
 }
 
 

@@ -91,3 +91,33 @@ def test_stats_pass_is_single_shared_aggregation(spark, snapshots):
     # prints twice in formatted mode: tree summary + node detail.)
     assert plan.count("Scan parquet") == 2
     assert "HashAggregate" in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """P4 prune_partitions: a filter on the partition column must become a
+    PartitionFilter (Catalyst prunes directories, no data read from others)."""
+    from raqc_spark.plans import explain_formatted
+
+    root = str(tmp_path / "ptab")
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS snap"
+    )
+    df.write.partitionBy("snap").mode("overwrite").parquet(root)
+    got = spark.read.parquet(root).filter("snap = '1'")
+    plan = explain_formatted(got)
+    assert re.search(r"PartitionFilters:.*snap", plan)
+    assert got.count() == 25
+
+
+def test_inspect_helpers_roundtrip(spark):
+    from raqc_spark.plans import (
+        assert_no_row_python,
+        assert_pushed_filter,
+        explain_formatted,
+    )
+    from raqc_spark.queries_core import q_scan_snapshot
+
+    df = q_scan_snapshot(spark, "/root/testdata/sf0.001")
+    assert "Scan parquet" in explain_formatted(df)
+    assert_pushed_filter(df, "l_quantity")
+    assert_no_row_python(df)

@@ -78,3 +78,31 @@ def test_driver_entry_smoke(spark):
         "partition_id", "check_name", "pass", "metric_value",
         "threshold", "n_rows", "n_violations",
     }
+
+
+def test_run_granularity_matches_family_granularity(spark, snapshots, tmp_path):
+    """granularity='run' (2 actions) must produce identical verdicts and the
+    same per-family manifest as the family-wise path."""
+    from raqc_spark.runner import Manifest, run_contract
+    from raqc_spark.contract import default_contract
+
+    s1, s2, commits = snapshots
+    a = run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                     run_dir=str(tmp_path / "fam"), resume=False)
+    b = run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                     run_dir=str(tmp_path / "run"), resume=False,
+                     granularity="run")
+    va = {tuple(r) for r in a.verdicts.collect()}
+    vb = {tuple(r) for r in b.verdicts.collect()}
+    assert va == vb
+    ma = Manifest(str(tmp_path / "fam")).completed()
+    mb = Manifest(str(tmp_path / "run")).completed()
+    assert set(ma) == set(mb)
+    for fam in ma:
+        ka = {(r["partition_id"], r["check_name"]) for r in ma[fam]}
+        kb = {(r["partition_id"], r["check_name"]) for r in mb[fam]}
+        assert ka == kb
+    # and a family-wise resume over the run-granularity manifest skips all
+    c = run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                     run_dir=str(tmp_path / "run"), resume=True)
+    assert not c.families_run
