@@ -27,8 +27,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALING_FILES = 600_000
-PAIRS = 6
+SCALING_FILES = 2_400_000
+PAIRS = 4
 
 CHILD = r"""
 import json, sys
