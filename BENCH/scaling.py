@@ -27,7 +27,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALING_FILES = 2_400_000
+SCALING_FILES = 2_400_000  # round 2: 9_600_000 (see BASELINE.md Amdahl model)
 PAIRS = 4
 
 CHILD = r"""
