@@ -68,6 +68,13 @@ def align_snapshots(
 # ------------------------------------------------------------------- drift
 
 
+def _safe_frac(cnt: str, tot: str) -> Column:
+    """cnt/tot with 0/0 defined as 0 (snapshot side empty for a partition)."""
+    return F.when(F.col(tot) == 0, F.lit(0.0)).otherwise(
+        F.col(cnt) / F.col(tot)
+    )
+
+
 def _cat_counts(df: DataFrame, column: str) -> DataFrame:
     val = F.coalesce(F.col(column).cast("string"), F.lit("<null>")).alias("val")
     return df.groupBy("partition_id", val).agg(F.count(F.lit(1)).alias("cnt"))
@@ -91,8 +98,11 @@ def drift_psi(
     cells = cells.withColumn("tot1", F.sum("cnt1").over(w)).withColumn(
         "tot2", F.sum("cnt2").over(w)
     )
-    p = F.col("cnt1") / F.col("tot1") + F.lit(PSI_EPS)
-    q = F.col("cnt2") / F.col("tot2") + F.lit(PSI_EPS)
+    # Empty-side guard: a partition present in only one snapshot has tot=0 on
+    # the other side; define its proportions as 0 (-> every category drifts
+    # by its full mass, PSI large, verdict fails) instead of NULL-propagating.
+    p = _safe_frac("cnt1", "tot1") + F.lit(PSI_EPS)
+    q = _safe_frac("cnt2", "tot2") + F.lit(PSI_EPS)
     term = (p - q) * F.log(p / q)
     psi = cells.groupBy("partition_id").agg(
         F.round(F.sum(term), 9).alias("psi"),
@@ -164,7 +174,8 @@ def drift_ks(
         .withColumn("tot1", F.sum("cnt1").over(wall))
         .withColumn("tot2", F.sum("cnt2").over(wall))
     )
-    d = F.abs(F.col("cum1") / F.col("tot1") - F.col("cum2") / F.col("tot2"))
+    # empty-side guard: ECDF of an empty side is 0 everywhere -> D = max F2
+    d = F.abs(_safe_frac("cum1", "tot1") - _safe_frac("cum2", "tot2"))
     ks = cells.groupBy("partition_id").agg(
         F.round(F.max(d), 9).alias("ks"),
         F.max("tot2").alias("n_rows"),
@@ -200,19 +211,29 @@ def hist2d(
 
 def smooth_hist2d(cells: DataFrame) -> DataFrame:
     """3×3 moving-window sum over histogram cells — RAQC's mov_wind over
-    histogram space (SURVEY.md §2.5 W2). The cells table is ≤ bx·by rows,
-    so a broadcast self-join on |Δbx|≤1 ∧ |Δby|≤1 is the right plan."""
-    n = cells.select(
-        F.col("bx").alias("nbx"), F.col("by").alias("nby"), F.col("cnt").alias("ncnt")
+    histogram space (SURVEY.md §2.5 W2).
+
+    Each cell *donates* its count to its 9 neighbors via a 9-offset explode,
+    then an equi-join groupBy on the neighbor coordinate re-aggregates —
+    O(9·cells) rows through a hash agg, never a nested-loop join. Donated
+    sums at grid edges simply cover fewer source cells (same as numpy's
+    'constant 0' boundary mode)."""
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1),"
+        " dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    ).alias("o")
+    donated = cells.select("bx", "by", "cnt", offsets).select(
+        (F.col("bx") + F.col("o.dx")).alias("nbx"),
+        (F.col("by") + F.col("o.dy")).alias("nby"),
+        F.col("cnt").alias("ncnt"),
     )
-    cond = (F.abs(F.col("bx") - F.col("nbx")) <= 1) & (
-        F.abs(F.col("by") - F.col("nby")) <= 1
+    smoothed = donated.groupBy("nbx", "nby").agg(
+        F.sum("ncnt").alias("smoothed_cnt")
     )
-    return (
-        cells.join(F.broadcast(n), cond)
-        .groupBy("bx", "by")
-        .agg(F.first("cnt").alias("cnt"), F.sum("ncnt").alias("smoothed_cnt"))
-    )
+    return cells.join(
+        smoothed,
+        (cells.bx == smoothed.nbx) & (cells.by == smoothed.nby),
+    ).select("bx", "by", "cnt", "smoothed_cnt")
 
 
 def hist2d_outlier_check(
@@ -221,34 +242,63 @@ def hist2d_outlier_check(
     """Flag rows in rare (lang × content-length-bucket) histogram cells —
     RAQC's 2D-histogram outlier flagging recast (SURVEY.md §2.4 A6 + §2.5 W2).
 
-    A cell is rare when its 3×3-smoothed count fraction is below
-    ``min_cell_frac``. Rare-cell keys are broadcast back onto the rows.
+    A cell is rare when its smoothed count fraction is below
+    ``min_cell_frac``. Smoothing is a 3-cell moving window along the length
+    axis *within each lang* (the lang axis is categorical — it has no
+    neighbor order, so smoothing across langs would be meaningless); pass
+    ``smooth=False`` in params for raw cell fractions. With log-scaled
+    buckets (``log_scale=True``) the bins track heavy-tailed length
+    distributions instead of lumping 95% of rows into bucket 0.
+
+    Fully lazy: the grand total comes from a window over the (tiny,
+    ≤ langs × num_bins rows) cells table — no driver-side action; the plan
+    compiles to one scan for cells + one scan for the row-level flag joins.
+    Rare-cell keys are broadcast back onto the rows.
     """
     p = check.p
     lo, hi = float(p.get("lo", 0.0)), float(p.get("hi", 100_000.0))
     nbins = int(p.get("num_bins", 32))
     min_frac = float(p.get("min_cell_frac", 1e-4))
+    smooth = bool(p.get("smooth", True))
 
+    length = F.col("content_length")
+    if p.get("log_scale"):
+        length = F.log1p(length.cast("double"))
     lang_idx = F.coalesce(F.col("lang"), F.lit("<null>"))
-    cells = (
-        df.groupBy(
-            lang_idx.alias("lang_cell"),
-            bucket_col(F.col("content_length"), lo, hi, nbins).alias("len_bucket"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = bucket_col(length, lo, hi, nbins)
+
+    # NULL lengths are masked out of the histogram (they are the null_rate
+    # check's domain, and Spark's least/greatest would silently clamp a NULL
+    # bucket to 0, polluting the first cell) — RAQC likewise masks NaN
+    # before histogramming. Verdict n_rows counts the histogrammed rows.
+    df = df.filter(F.col("content_length").isNotNull())
+    cells = df.groupBy(
+        lang_idx.alias("lang_cell"), bucket.alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # lazy grand total: single-partition window over the tiny cells table
+    # (bounded by langs × num_bins rows — never the input size)
+    w_tot = Window.partitionBy(F.lit(1))
+    sm = (
+        Window.partitionBy("lang_cell")
+        .orderBy("len_bucket")
+        .rangeBetween(-1, 1)
     )
-    total = df.count()  # scalar action on a pre-agg'd count — cheap
-    rare = cells.filter((F.col("cnt") / F.lit(total)) < F.lit(min_frac)).select(
-        "lang_cell", "len_bucket"
+    score = F.sum("cnt").over(sm) if smooth else F.col("cnt")
+    rare = (
+        cells.withColumn("score", score)
+        .withColumn("total", F.sum("cnt").over(w_tot))
+        .filter((F.col("score") / F.col("total")) < F.lit(min_frac))
+        .select("lang_cell", "len_bucket")
     )
 
     tagged = df.withColumn("lang_cell", lang_idx).withColumn(
-        "len_bucket", bucket_col(F.col("content_length"), lo, hi, nbins)
+        "len_bucket", bucket
     )
     flagged = tagged.join(
         F.broadcast(rare), ["lang_cell", "len_bucket"], "left_semi"
     )
     violations = flagged.select(
+        F.col("partition_id").cast("int").alias("partition_id"),
         F.lit(check.name).alias("check_name"),
         "repo",
         "path",

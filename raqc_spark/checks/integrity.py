@@ -25,6 +25,7 @@ def ref_integrity_check(
     violations = (
         df.join(dim_keys, keys, "left_anti")
         .select(
+            F.col("partition_id").cast("int").alias("partition_id"),
             F.lit(check.name).alias("check_name"),
             "repo",
             "path",

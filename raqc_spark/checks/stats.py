@@ -136,6 +136,7 @@ def compile_stats_pass(
     pred_checks = [c for c in stats if c.kind in PREDICATE_KINDS]
     for c in pred_checks:
         rows = df.filter(violation_predicate(c)).select(
+            F.col("partition_id").cast("int").alias("partition_id"),
             F.lit(c.name).alias("check_name"),
             F.col("repo"),
             F.col("path"),

@@ -33,6 +33,7 @@ def uniqueness_check(
     violations = (
         dup_rows.withColumn("dup_rank", F.row_number().over(w))
         .select(
+            F.col("partition_id").cast("int").alias("partition_id"),
             F.lit(check.name).alias("check_name"),
             "repo",
             "path",

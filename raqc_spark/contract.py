@@ -127,5 +127,15 @@ def default_contract() -> Contract:
                   # no data-dependent pre-scan, stable goldens
                   params=(("num_bins", 64), ("lo", 0.0), ("hi", 14.0),
                           ("log_scale", True))),
+            # RAQC's signature operator (north_star "2D-histogram outlier
+            # flagging"): rows in rare (lang × log-length-bucket) cells are
+            # violations; a partition fails past 5% flagged. min_cell_frac
+            # tuned on the seed-42 fixture so every injected V7/V4 length
+            # outlier lands in a rare cell (tests/test_drift.py golden).
+            Check("hist2d_outlier_lang_length", "hist2d_outlier",
+                  threshold=Threshold("le", 0.05),
+                  params=(("lo", 0.0), ("hi", 14.0), ("num_bins", 28),
+                          ("log_scale", True), ("min_cell_frac", 0.003),
+                          ("smooth", True))),
         )
     )

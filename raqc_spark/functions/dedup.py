@@ -163,6 +163,66 @@ def simhash(tok: DataFrame) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(
+    sh: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs from 64-bit SimHashes (the retrieval half of the
+    operator — signatures alone don't find anything).
+
+    Pigeonhole banding: split the 64 bits into ``bands`` contiguous chunks;
+    any pair within hamming distance ``max_hamming`` < ``bands`` agrees
+    EXACTLY on at least one chunk, so candidate generation is an equi-join
+    on (band, 16-bit band key) — never an all-pairs scan. Candidates are
+    then confirmed with the exact distance via ``bit_count(a ^ b)``.
+
+    Scale: shuffle keys are (band, key) — uniform by construction (hash
+    bits); join fan-out tracks band-bucket occupancy, the same cost model as
+    MinHash LSH banding above. Requires ``max_hamming < bands`` for exact
+    recall (guaranteed by pigeonhole); more bands = more recall headroom but
+    wider buckets (fewer bits per key).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming ({max_hamming}) < bands ({bands})"
+        )
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "doc",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        "doc",
+        "simhash",
+        "band",
+        F.expr(
+            f"shiftright(simhash, CAST(band * {width} AS INT)) & {mask}"
+        ).alias("key"),
+    )
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band", "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def unigram_jaccard_pairs(
     tok: DataFrame, min_jaccard: float = 0.0
 ) -> DataFrame:

@@ -56,14 +56,33 @@ def schema_check(
     return spark.createDataFrame(row, schema=VERDICT_SCHEMA)
 
 
+def _pfilter(df: DataFrame | None, pids: frozenset[int] | None) -> DataFrame | None:
+    """Restrict a prepared snapshot to a set of partition_ids (per-partition
+    resume / batched checkpointing). On the parquet emulation this is a
+    post-scan filter; on a production Iceberg table bucket-partitioned by the
+    same repo-hash expression it prunes files before the scan."""
+    if df is None or pids is None:
+        return df
+    return df.filter(F.col("partition_id").isin(sorted(int(p) for p in pids)))
+
+
 @dataclass(frozen=True)
 class CompiledFamily:
-    """A lazily-compiled group of checks sharing one scan pattern."""
+    """A lazily-compiled group of checks sharing one scan pattern.
+
+    ``build(pids)`` compiles the family restricted to a partition_id subset
+    (``None`` = all partitions). ``splittable`` marks families whose checks
+    are per-partition independent, i.e. running them on a partition subset
+    yields exactly the subset of the full run's verdicts/violations. The
+    hist2d family is NOT splittable (its rare-cell threshold is a *global*
+    histogram property), nor is the metadata-only schema check.
+    """
 
     name: str
     checks: tuple[Check, ...]
-    # () -> (verdicts, violations|None)
-    build: Callable[[], tuple[DataFrame, DataFrame | None]]
+    # (pids|None) -> (verdicts, violations|None)
+    build: Callable[..., tuple[DataFrame, DataFrame | None]]
+    splittable: bool = True
 
 
 def compile_plan(
@@ -96,10 +115,11 @@ def compile_plan(
             CompiledFamily(
                 "schema",
                 (chk,),
-                lambda chk=chk, schema=schema: (
+                lambda pids=None, chk=chk, schema=schema: (
                     schema_check(spark, schema, contract, chk),
                     None,
                 ),
+                splittable=False,
             )
         )
 
@@ -107,16 +127,21 @@ def compile_plan(
     if stats:
         families.append(
             CompiledFamily(
-                "stats", tuple(stats), lambda: compile_stats_pass(s2, stats)
+                "stats",
+                tuple(stats),
+                lambda pids=None: compile_stats_pass(_pfilter(s2, pids), stats),
             )
         )
 
     for chk in by_kind.get("uniqueness", []):
+        # splittable: every row of a key group shares repo -> one partition_id
         families.append(
             CompiledFamily(
                 f"uniqueness:{chk.name}",
                 (chk,),
-                lambda chk=chk: uniqueness_check(s2, chk),
+                lambda pids=None, chk=chk: uniqueness_check(
+                    _pfilter(s2, pids), chk
+                ),
             )
         )
 
@@ -127,16 +152,20 @@ def compile_plan(
             CompiledFamily(
                 f"ref:{chk.name}",
                 (chk,),
-                lambda chk=chk: ref_integrity_check(s2, commits_dim, chk),
+                lambda pids=None, chk=chk: ref_integrity_check(
+                    _pfilter(s2, pids), commits_dim, chk
+                ),
             )
         )
 
     for chk in by_kind.get("hist2d_outlier", []):
+        # NOT splittable: the rare-cell cut depends on the global histogram
         families.append(
             CompiledFamily(
                 f"hist:{chk.name}",
                 (chk,),
-                lambda chk=chk: hist2d_outlier_check(s2, chk),
+                lambda pids=None, chk=chk: hist2d_outlier_check(s2, chk),
+                splittable=False,
             )
         )
 
@@ -149,7 +178,10 @@ def compile_plan(
                 CompiledFamily(
                     f"drift:{chk.name}",
                     (chk,),
-                    lambda chk=chk: (drift_psi(s1, s2, chk)[0], None),
+                    lambda pids=None, chk=chk: (
+                        drift_psi(_pfilter(s1, pids), _pfilter(s2, pids), chk)[0],
+                        None,
+                    ),
                 )
             )
         else:
@@ -157,7 +189,10 @@ def compile_plan(
                 CompiledFamily(
                     f"drift:{chk.name}",
                     (chk,),
-                    lambda chk=chk: (drift_ks(s1, s2, chk)[0], None),
+                    lambda pids=None, chk=chk: (
+                        drift_ks(_pfilter(s1, pids), _pfilter(s2, pids), chk)[0],
+                        None,
+                    ),
                 )
             )
 

@@ -27,6 +27,11 @@ VERDICT_SCHEMA = T.StructType(
 
 VIOLATION_SCHEMA = T.StructType(
     [
+        # partition lineage: which repo-hash partition the violating row
+        # belongs to (north_rule "per-partition lineage") — also the physical
+        # partition column of the violation sinks, so checkpoint retries
+        # overwrite exactly one partition directory.
+        T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("check_name", T.StringType(), False),
         T.StructField("repo", T.StringType(), True),
         T.StructField("path", T.StringType(), True),

@@ -5,19 +5,33 @@ resumable (BASELINE.json:14 "resumable from checkpoint with per-partition
 lineage + metrics"):
 
 - each check *family* (shared-scan group, plan.compile_plan) executes as one
-  Spark job writing its violations to ``<run_dir>/violations/family=<id>/``;
-- after a family completes, a manifest entry is appended **atomically**
-  (write-tmp-then-rename, SURVEY.md §7.3.4) carrying per-partition lineage:
-  n_rows, n_violations, metric and pass per (check, partition_id);
-- re-running with the same run_dir skips completed families (their verdicts
-  are reconstructed from the manifest — no recompute, no rescan).
+  Spark job writing its violations to ``<run_dir>/violations/family=<id>/``,
+  physically partitioned by ``partition_id`` and written with DYNAMIC
+  partition overwrite — a retry replaces exactly the partitions it
+  recomputed, never a sibling family's (or partition's) checkpointed output;
+- after each unit of work completes, a manifest entry is appended
+  **atomically** (write-tmp-then-rename, SURVEY.md §7.3.4) carrying
+  per-partition lineage: n_rows, n_violations, metric and pass per
+  (check, partition_id), plus a ``complete`` flag per family;
+- the manifest also pins a **fingerprint** of (contract, input files); a
+  resume against a run_dir checkpointed under a different contract or input
+  refuses instead of silently reusing stale verdicts;
+- re-running with the same run_dir skips completed families outright and,
+  for a partially-completed splittable family, recomputes ONLY the missing
+  partition_ids (the completed partitions' verdicts are reconstructed from
+  the manifest — no recompute, no rescan);
+- ``partition_batches > 1`` runs each splittable family as several partition
+  batches with a manifest commit after each — bounded retry blast radius at
+  10^12-file scale, and the unit a mid-family crash resumes from.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
+import shutil
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -39,15 +53,44 @@ class RunResult:
     run_dir: str
     families_run: list[str]
     families_skipped: list[str]
+    # families that resumed mid-way: name -> partition_ids recomputed
+    partitions_resumed: dict[str, list[int]]
 
     @property
     def passed(self) -> bool:
         return self.verdicts.filter("NOT pass").count() == 0
 
 
+def contract_fingerprint(
+    contract: Contract,
+    s2: DataFrame,
+    s1: DataFrame | None,
+    commits_dim: DataFrame | None,
+) -> str:
+    """Identity of (contract spec, input files). Frozen-dataclass repr is
+    deterministic; inputFiles() is scan metadata (no job). In-memory test
+    DataFrames list no files — their fingerprint covers the contract only."""
+    parts = [repr(contract)]
+    for df in (s2, s1, commits_dim):
+        if df is None:
+            parts.append("-")
+        else:
+            try:
+                parts.append(",".join(sorted(df.inputFiles())))
+            except Exception:  # pragma: no cover - non-file sources
+                parts.append("?")
+    return hashlib.sha256("||".join(parts).encode()).hexdigest()
+
+
 class Manifest:
-    """Append-only JSON checkpoint manifest, atomically swapped per entry.
-    Thread-safe: families complete concurrently (run_contract pool)."""
+    """Per-partition checkpoint manifest, atomically swapped per entry.
+    Thread-safe: families complete concurrently (run_contract pool).
+
+    Layout: ``{"meta": {...}, "families": {name: {"verdicts": [...],
+    "complete": bool}}}``. Verdict rows merge by (check_name, partition_id)
+    so batch commits accumulate; ``complete`` marks the family fully done.
+    Legacy (round-1) entries without the flag are treated as complete.
+    """
 
     def __init__(self, run_dir: str) -> None:
         self.path = os.path.join(run_dir, "manifest.json")
@@ -55,48 +98,130 @@ class Manifest:
 
     def load(self) -> dict:
         if not os.path.exists(self.path):
-            return {"families": {}}
+            return {"meta": {}, "families": {}}
         with open(self.path) as f:
-            return json.load(f)
+            data = json.load(f)
+        data.setdefault("meta", {})
+        return data
 
-    def complete_family(self, family: str, verdict_rows: list[dict]) -> None:
+    def _swap(self, data: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def meta(self) -> dict:
+        return self.load()["meta"]
+
+    def set_meta(self, **kv) -> None:
         with self._lock:
             data = self.load()
-            data["families"][family] = {"verdicts": verdict_rows}
-            tmp = self.path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(data, f, sort_keys=True)
-            os.replace(tmp, self.path)
+            data["meta"].update(kv)
+            self._swap(data)
+
+    def record(
+        self, family: str, verdict_rows: list[dict], complete: bool
+    ) -> None:
+        """Merge verdict rows into the family entry (keyed by
+        (check_name, partition_id)) and set its complete flag."""
+        with self._lock:
+            data = self.load()
+            entry = data["families"].setdefault(
+                family, {"verdicts": [], "complete": False}
+            )
+            merged = {
+                (r["check_name"], r["partition_id"]): r
+                for r in entry.get("verdicts", [])
+            }
+            for r in verdict_rows:
+                merged[(r["check_name"], r["partition_id"])] = r
+            entry["verdicts"] = sorted(
+                merged.values(), key=lambda r: (r["check_name"], r["partition_id"])
+            )
+            entry["complete"] = bool(complete)
+            self._swap(data)
+
+    def complete_family(self, family: str, verdict_rows: list[dict]) -> None:
+        self.record(family, verdict_rows, complete=True)
+
+    def state(self) -> dict[str, tuple[list[dict], bool]]:
+        """family -> (verdict rows so far, complete?)."""
+        out = {}
+        for k, v in self.load()["families"].items():
+            out[k] = (v.get("verdicts", []), bool(v.get("complete", True)))
+        return out
 
     def completed(self) -> dict[str, list[dict]]:
-        return {k: v["verdicts"] for k, v in self.load()["families"].items()}
+        """Fully-completed families only (round-1 API, kept for callers)."""
+        return {k: rows for k, (rows, done) in self.state().items() if done}
+
+
+def _write_violations(violations: DataFrame, out: str) -> None:
+    """Partition-granular idempotent sink: dynamic overwrite replaces only
+    the partition_id directories present in this write."""
+    (
+        violations.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition_id")
+        .parquet(out)
+    )
+
+
+def _batches(pids: frozenset[int], n: int) -> list[frozenset[int]]:
+    ordered = sorted(pids)
+    n = max(1, min(n, len(ordered)))
+    size = (len(ordered) + n - 1) // n
+    return [
+        frozenset(ordered[i : i + size]) for i in range(0, len(ordered), size)
+    ]
 
 
 def _run_family(
-    fam: CompiledFamily, run_dir: str, manifest: Manifest
+    fam: CompiledFamily,
+    run_dir: str,
+    manifest: Manifest,
+    pids: frozenset[int] | None = None,
+    partition_batches: int = 1,
+    all_pids: frozenset[int] | None = None,
 ) -> list[dict]:
-    verdicts, violations = fam.build()
-    if violations is not None:
-        out = os.path.join(run_dir, "violations", f"family={_safe(fam.name)}")
-        # parquet overwrite of the family dir is idempotent; the manifest
-        # entry (written only after success) is the commit point.
-        violations.write.mode("overwrite").parquet(out)
-    rows = [r.asDict() for r in verdicts.collect()]  # tiny: P × checks rows
-    manifest.complete_family(fam.name, rows)
-    return rows
+    """Run one family (optionally restricted to ``pids``), committing the
+    manifest per partition batch. Returns the verdict rows it computed."""
+    if fam.splittable and partition_batches > 1:
+        target = pids if pids is not None else (all_pids or frozenset())
+        chunks: list[frozenset[int] | None] = list(
+            _batches(target, partition_batches)
+        ) or [None]
+    else:
+        chunks = [pids]
+
+    out = os.path.join(run_dir, "violations", f"family={_safe(fam.name)}")
+    all_rows: list[dict] = []
+    for i, chunk in enumerate(chunks):
+        verdicts, violations = fam.build(chunk)
+        if violations is not None:
+            _write_violations(violations, out)
+        rows = [r.asDict() for r in verdicts.collect()]  # tiny: P × checks
+        manifest.record(fam.name, rows, complete=(i == len(chunks) - 1))
+        all_rows.extend(rows)
+    return all_rows
 
 
 def _run_batched(
-    families: list[CompiledFamily], run_dir: str, manifest: Manifest
+    work: list[tuple[CompiledFamily, frozenset[int] | None]],
+    run_dir: str,
+    manifest: Manifest,
 ) -> list[dict]:
     """granularity='run': union every family's violations into ONE write and
     every family's verdicts into ONE collect (two actions total), then split
-    the collected rows back out into per-family manifest entries."""
+    the collected rows back out into per-family manifest entries. The union
+    write is partitioned by (family, partition_id) with dynamic overwrite, so
+    families absent from this run — e.g. already-checkpointed ones during a
+    resume — keep their violation parquet intact."""
     from pyspark.sql import functions as F
 
     verdict_parts, viol_parts = [], []
-    for fam in families:
-        v, viol = fam.build()
+    for fam, pids in work:
+        v, viol = fam.build(pids)
         verdict_parts.append(v)
         if viol is not None:
             viol_parts.append(viol.withColumn("family", F.lit(_safe(fam.name))))
@@ -105,14 +230,19 @@ def _run_batched(
         for p in viol_parts[1:]:
             allv = allv.unionByName(p)
         out = os.path.join(run_dir, "violations")
-        allv.write.mode("overwrite").partitionBy("family").parquet(out)
+        (
+            allv.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("family", "partition_id")
+            .parquet(out)
+        )
     rows = [r.asDict() for r in union_verdicts(verdict_parts).collect()]
     by_check: dict[str, list[dict]] = {}
     for r in rows:
         by_check.setdefault(r["check_name"], []).append(r)
-    for fam in families:
+    for fam, _pids in work:
         fam_rows = [r for c in fam.checks for r in by_check.get(c.name, [])]
-        manifest.complete_family(fam.name, fam_rows)
+        manifest.record(fam.name, fam_rows, complete=True)
     return rows
 
 
@@ -126,6 +256,7 @@ def run_contract(
     resume: bool = True,
     cache: bool = True,
     granularity: str = "family",
+    partition_batches: int = 1,
 ) -> RunResult:
     """Run the full contract; returns verdicts + writes violation sinks.
 
@@ -135,52 +266,93 @@ def run_contract(
 
     ``granularity`` — checkpoint/action granularity:
       * ``"family"``: one violations write + one verdict collect per check
-        family; resumable at family level (the default).
+        family; resumable at family level, and at partition level when a
+        family checkpointed partially (the default).
       * ``"run"``: the whole contract executes as TWO actions — one union
         violations write, one union verdict collect. ~5x fewer job barriers,
         the right mode for throughput runs; the manifest still records
-        per-family (and per-partition) lineage afterwards, so a re-run
-        resumes family-wise either way.
+        per-partition lineage afterwards, so a re-run resumes either way.
+
+    ``partition_batches`` — with granularity='family', split each splittable
+    family into this many partition_id batches, checkpointing the manifest
+    after each: a crash loses at most one batch, and the resume recomputes
+    only the partitions with no manifest entry.
+
+    ``resume=False`` starts clean: prior manifest and violation sinks under
+    ``run_dir`` are removed (a fresh run must not inherit stale partitions).
     """
     os.makedirs(run_dir, exist_ok=True)
     manifest = Manifest(run_dir)
-    done = manifest.completed() if resume else {}
+    fingerprint = contract_fingerprint(contract, s2, s1, commits_dim)
+    if resume:
+        prior = manifest.meta().get("fingerprint")
+        if prior is not None and prior != fingerprint:
+            raise ValueError(
+                f"run_dir {run_dir!r} was checkpointed with a different "
+                "contract or inputs; refusing to resume (pass resume=False "
+                "for a fresh run, or use a new run_dir)"
+            )
+    else:
+        if os.path.exists(manifest.path):
+            os.remove(manifest.path)
+        shutil.rmtree(os.path.join(run_dir, "violations"), ignore_errors=True)
+    manifest.set_meta(fingerprint=fingerprint)
+    state = manifest.state() if resume else {}
 
+    all_pids = frozenset(range(contract.partition_spec.num_partitions))
     s2p = prepare(s2, contract)
     s1p = prepare(s1, contract) if s1 is not None else None
     if cache:
         s2p = s2p.persist()
 
-    families = compile_plan(spark, contract, s2p, s1p, commits_dim, raw_schema=s2.schema)
+    families = compile_plan(
+        spark, contract, s2p, s1p, commits_dim, raw_schema=s2.schema
+    )
     all_rows: list[dict] = []
     ran, skipped = [], []
-    to_run = []
+    resumed_parts: dict[str, list[int]] = {}
+    work: list[tuple[CompiledFamily, frozenset[int] | None]] = []
     for fam in families:
-        if fam.name in done:
-            all_rows.extend(done[fam.name])
+        rows_done, complete = state.get(fam.name, ([], False))
+        if complete:
+            all_rows.extend(rows_done)
             skipped.append(fam.name)
+        elif rows_done and fam.splittable:
+            done_pids = {int(r["partition_id"]) for r in rows_done}
+            remaining = frozenset(all_pids - done_pids)
+            all_rows.extend(rows_done)
+            if remaining:
+                resumed_parts[fam.name] = sorted(remaining)
+                work.append((fam, remaining))
+            else:
+                manifest.record(fam.name, [], complete=True)
+                skipped.append(fam.name)
         else:
-            to_run.append(fam)
+            # untouched, or partial-but-unsplittable: (re)run fully
+            work.append((fam, None))
     try:
-        if cache and to_run:
+        if cache and work:
             s2p.count()  # materialize the cache once before fan-out
-        if granularity == "run" and to_run:
-            all_rows.extend(_run_batched(to_run, run_dir, manifest))
-            ran.extend(f.name for f in to_run)
+        if granularity == "run" and work:
+            all_rows.extend(_run_batched(work, run_dir, manifest))
+            ran.extend(f.name for f, _ in work)
         else:
             # Families are independent DAGs -> submit them from concurrent
             # driver threads; Spark's scheduler interleaves their stages so
             # small stages don't serialize the whole contract (FAIR-ish use
             # of the cluster without touching scheduler pools).
             workers = int(os.environ.get("RAQC_FAMILY_WORKERS", "0")) or max(
-                1, len(to_run)
+                1, len(work)
             )
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 futures = [
-                    pool.submit(_run_family, fam, run_dir, manifest)
-                    for fam in to_run
+                    pool.submit(
+                        _run_family, fam, run_dir, manifest, pids,
+                        partition_batches, all_pids,
+                    )
+                    for fam, pids in work
                 ]
-                for fam, fut in zip(to_run, futures, strict=True):
+                for (fam, _), fut in zip(work, futures, strict=True):
                     all_rows.extend(fut.result())
                     ran.append(fam.name)
     finally:
@@ -191,4 +363,4 @@ def run_contract(
         [tuple(r[f.name] for f in VERDICT_SCHEMA.fields) for r in all_rows],
         schema=VERDICT_SCHEMA,
     )
-    return RunResult(verdicts, run_dir, ran, skipped)
+    return RunResult(verdicts, run_dir, ran, skipped, resumed_parts)

@@ -68,3 +68,57 @@ def test_drift_fails_only_injected_partitions(spark, snapshots):
     v2, _ = drift_ks(d1, d2, chk2)
     failed_ks = {r["partition_id"] for r in v2.filter("NOT pass").collect()}
     assert pids["repo_0003"] in failed_ks
+
+
+def _hist_check():
+    return next(
+        c for c in default_contract().checks if c.kind == "hist2d_outlier"
+    )
+
+
+def test_hist2d_outlier_golden(spark, snapshots, code_fixture):
+    """north_star signature op: every injected length outlier (V7 huge rows,
+    V4 empty strings — the fixture's 'length_outlier' golden keys) must land
+    in a rare histogram cell; total flagging stays below the 5% threshold."""
+    from raqc_spark.checks.drift import hist2d_outlier_check
+
+    fx, _ = code_fixture
+    _, s2, _ = snapshots
+    df = prepare(s2, default_contract())
+    verdicts, violations = hist2d_outlier_check(df, _hist_check())
+    flagged = {
+        (r["repo"], r["path"], r["commit"], r["content_sha"])
+        for r in violations.collect()
+    }
+    missing = fx.golden["length_outlier"] - flagged
+    assert not missing, f"{len(missing)} injected outliers not flagged"
+    n_rows = df.count()
+    assert len(flagged) / n_rows < 0.05
+    # verdict bookkeeping: per-partition n_violations sums to flagged rows
+    total_viol = verdicts.agg(F.sum("n_violations")).collect()[0][0]
+    assert total_viol == violations.count()
+
+
+def test_hist2d_outlier_in_default_contract():
+    """Regression (VERDICT r1): the flagship contract must carry RAQC's
+    signature 2D-histogram outlier check."""
+    kinds = {c.kind for c in default_contract().checks}
+    assert "hist2d_outlier" in kinds
+
+
+def test_hist2d_outlier_compiles_lazily(spark, snapshots):
+    """Regression (VERDICT r1): compiling the hist check must trigger NO
+    Spark job (the round-1 version ran df.count() eagerly)."""
+    from raqc_spark.checks.drift import hist2d_outlier_check
+
+    _, s2, _ = snapshots
+    df = prepare(s2, default_contract())
+    sc = spark.sparkContext
+    group = "hist-lazy-probe"
+    sc.setJobGroup(group, "laziness probe")
+    try:
+        hist2d_outlier_check(df, _hist_check())
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []

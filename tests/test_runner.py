@@ -106,3 +106,120 @@ def test_run_granularity_matches_family_granularity(spark, snapshots, tmp_path):
     c = run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
                      run_dir=str(tmp_path / "run"), resume=True)
     assert not c.families_run
+
+
+def test_resume_recomputes_only_missing_partitions(spark, snapshots, tmp_path):
+    """north_rule per-partition lineage: a partially-checkpointed family
+    resumes at partition granularity. Sentinel metric values planted in the
+    manifest must SURVIVE the resume (proof the completed partitions were
+    not recomputed) while the missing partitions come back correct."""
+    rd = tmp_path / "run_pp"
+    full = _run(spark, snapshots, rd)
+    full_rows = {
+        (r["check_name"], r["partition_id"]): tuple(r)
+        for r in full.verdicts.collect()
+    }
+
+    mpath = os.path.join(str(rd), "manifest.json")
+    with open(mpath) as f:
+        data = json.load(f)
+    entry = data["families"]["stats"]
+    kept = []
+    kept_pids = set()
+    for r in entry["verdicts"]:
+        if r["partition_id"] < 4:
+            r = dict(r)
+            r["metric_value"] = 123456.0  # sentinel
+            kept.append(r)
+            kept_pids.add(r["partition_id"])
+    entry["verdicts"], entry["complete"] = kept, False
+    with open(mpath, "w") as f:
+        json.dump(data, f)
+
+    res = _run(spark, snapshots, rd)
+    assert res.partitions_resumed == {"stats": sorted(set(range(8)) - kept_pids)}
+    assert "stats" in res.families_run
+    stats_checks = {
+        r["check_name"] for r in full.verdicts.collect()
+    } - {"uniqueness", "ref_integrity", "drift_psi_lang", "drift_ks_length",
+         "schema", "hist2d_outlier_lang_length"}
+    for r in res.verdicts.collect():
+        if r["check_name"] not in stats_checks:
+            continue
+        if r["partition_id"] < 4:
+            assert r["metric_value"] == 123456.0  # reused from checkpoint
+        else:
+            assert tuple(r) == full_rows[(r["check_name"], r["partition_id"])]
+
+
+def test_partition_batches_equivalent(spark, snapshots, tmp_path):
+    """partition_batches=3 must yield identical verdicts/violations to a
+    single-shot run, with every family complete in the manifest."""
+    from raqc_spark.runner import Manifest
+
+    s1, s2, commits = snapshots
+    a = run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                     run_dir=str(tmp_path / "one"), resume=False)
+    b = run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                     run_dir=str(tmp_path / "bat"), resume=False,
+                     partition_batches=3)
+    assert {tuple(r) for r in a.verdicts.collect()} == {
+        tuple(r) for r in b.verdicts.collect()
+    }
+    state = Manifest(str(tmp_path / "bat")).state()
+    assert all(done for _, done in state.values())
+    va = spark.read.parquet(str(tmp_path / "one" / "violations"))
+    vb = spark.read.parquet(str(tmp_path / "bat" / "violations"))
+    key = ["check_name", "repo", "path", "commit", "content_sha"]
+    assert {tuple(r) for r in va.select(*key).collect()} == {
+        tuple(r) for r in vb.select(*key).collect()
+    }
+
+
+def test_resume_refuses_changed_contract(spark, snapshots, tmp_path):
+    import pytest as _pytest
+
+    from raqc_spark.contract import Check, Contract, Threshold
+
+    rd = str(tmp_path / "run_fp")
+    _run(spark, snapshots, rd)
+    base = default_contract()
+    changed = Contract(
+        checks=tuple(
+            Check(c.name, c.kind, c.column, Threshold("le", 0.9), c.params)
+            if c.name == "null_rate_content" else c
+            for c in base.checks
+        ),
+        partition_spec=base.partition_spec,
+    )
+    s1, s2, commits = snapshots
+    with _pytest.raises(ValueError, match="different contract"):
+        run_contract(spark, changed, s2, s1=s1, commits_dim=commits,
+                     run_dir=rd, resume=True)
+
+
+def test_run_mode_resume_preserves_checkpointed_violations(
+    spark, snapshots, tmp_path
+):
+    """Regression (ADVICE r1, medium): resuming a partially-complete run_dir
+    with granularity='run' must NOT wipe already-checkpointed families'
+    violation parquet."""
+    rd = str(tmp_path / "run_mix")
+    _run(spark, snapshots, rd)
+    uniq_dir = os.path.join(rd, "violations", "family=uniqueness_uniqueness")
+    before = spark.read.parquet(uniq_dir).count()
+    assert before > 0
+
+    mpath = os.path.join(rd, "manifest.json")
+    with open(mpath) as f:
+        data = json.load(f)
+    del data["families"]["stats"]  # simulate: stats family not checkpointed
+    with open(mpath, "w") as f:
+        json.dump(data, f)
+
+    s1, s2, commits = snapshots
+    res = run_contract(spark, default_contract(), s2, s1=s1,
+                       commits_dim=commits, run_dir=rd, resume=True,
+                       granularity="run")
+    assert res.families_run == ["stats"]
+    assert spark.read.parquet(uniq_dir).count() == before
