@@ -1,8 +1,10 @@
 """Check contract — the declarative spec of what to validate.
 
 Analogue of RAQC's inicheck UserConfig ``.ini`` (SURVEY.md §3.1): a frozen,
-pure-Python IR with no Spark dependency. ``plan.compile_plan`` turns a
-Contract into lazy DataFrame DAGs; nothing here touches a SparkSession.
+pure-Python IR with no Spark dependency, round-trippable through YAML
+(``Contract.to_yaml`` / ``Contract.from_yaml`` — the UserConfig file
+analogue). ``plan.compile_plan`` turns a Contract into lazy DataFrame DAGs;
+nothing here touches a SparkSession.
 """
 
 from __future__ import annotations
@@ -75,6 +77,98 @@ class Contract:
         for c in self.checks:
             if c.kind not in KNOWN_KINDS:
                 raise ValueError(f"unknown check kind {c.kind!r} in {c.name!r}")
+
+    # ------------------------------------------------- YAML (de)serialization
+
+    def to_dict(self) -> dict:
+        return {
+            "schema_columns": list(self.schema_columns),
+            "partition_spec": {
+                "key": self.partition_spec.key,
+                "num_partitions": self.partition_spec.num_partitions,
+                "salt_buckets": self.partition_spec.salt_buckets,
+            },
+            "checks": [
+                {
+                    "name": c.name,
+                    "kind": c.kind,
+                    **({"column": c.column} if c.column is not None else {}),
+                    "threshold": {"op": c.threshold.op, "value": c.threshold.value},
+                    **(
+                        {"params": {k: _listed(v) for k, v in c.params}}
+                        if c.params
+                        else {}
+                    ),
+                }
+                for c in self.checks
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> Contract:
+        spec = d.get("partition_spec", {})
+        checks = tuple(
+            Check(
+                name=c["name"],
+                kind=c["kind"],
+                column=c.get("column"),
+                threshold=Threshold(
+                    c.get("threshold", {}).get("op", "le"),
+                    float(c.get("threshold", {}).get("value", 0.0)),
+                ),
+                params=tuple(
+                    (k, _tupled(v)) for k, v in c.get("params", {}).items()
+                ),
+            )
+            for c in d["checks"]
+        )
+        out = cls(
+            checks=checks,
+            partition_spec=PartitionSpec(
+                key=spec.get("key", "repo"),
+                num_partitions=int(spec.get("num_partitions", 8)),
+                salt_buckets=int(spec.get("salt_buckets", 16)),
+            ),
+            schema_columns=tuple(
+                d.get(
+                    "schema_columns",
+                    ("repo", "path", "commit", "lang", "content"),
+                )
+            ),
+        )
+        out.validate()
+        return out
+
+    def to_yaml(self) -> str:
+        import yaml
+
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    @classmethod
+    def from_yaml(cls, text_or_path: str) -> Contract:
+        import os
+
+        import yaml
+
+        if os.path.exists(text_or_path):
+            with open(text_or_path) as f:
+                text = f.read()
+        else:
+            text = text_or_path
+        return cls.from_dict(yaml.safe_load(text))
+
+
+def _tupled(v):
+    """YAML lists -> tuples, recursively (frozen-dataclass canonical form)."""
+    if isinstance(v, list):
+        return tuple(_tupled(x) for x in v)
+    return v
+
+
+def _listed(v):
+    if isinstance(v, (list, tuple)):
+        return [_listed(x) for x in v]
+    return v
 
 
 KNOWN_KINDS = frozenset(

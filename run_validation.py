@@ -33,7 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--snapshot2", required=True)
     ap.add_argument("--commits", required=True, help="commits dim parquet")
     ap.add_argument("--run-dir", required=True)
-    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--contract", default=None,
+                    help="YAML contract file (default: built-in contract)")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="override the contract's partition count")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None, help="override (local runs only)")
     args = ap.parse_args(argv)
@@ -46,10 +49,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    base = default_contract()
+    base = Contract.from_yaml(args.contract) if args.contract else default_contract()
+    spec = base.partition_spec
+    if args.partitions is not None:
+        spec = PartitionSpec(
+            key=spec.key, num_partitions=args.partitions,
+            salt_buckets=spec.salt_buckets,
+        )
     contract = Contract(
-        checks=base.checks,
-        partition_spec=PartitionSpec(num_partitions=args.partitions),
+        checks=base.checks, partition_spec=spec,
         schema_columns=base.schema_columns,
     )
 

@@ -80,3 +80,25 @@ def test_fixture_golden_keys_exist_in_s2():
     # null-content rows carry the documented empty-string sha constant
     for _, _, _, sha in fx.golden["null_content"]:
         assert sha == empty_sha
+
+
+def test_contract_yaml_roundtrip(tmp_path):
+    """UserConfig analogue (SURVEY.md §1.2): YAML round-trip is exact."""
+    from raqc_spark.contract import Contract, default_contract
+
+    c = default_contract()
+    text = c.to_yaml()
+    assert Contract.from_yaml(text) == c
+    p = tmp_path / "contract.yaml"
+    p.write_text(text)
+    assert Contract.from_yaml(str(p)) == c
+
+
+def test_contract_yaml_rejects_unknown_kind():
+    import pytest as _pytest
+
+    from raqc_spark.contract import Contract
+
+    bad = "checks:\n- name: x\n  kind: nonsense\n"
+    with _pytest.raises(ValueError, match="unknown check kind"):
+        Contract.from_yaml(bad)
