@@ -7,6 +7,10 @@ map-side-combined) shuffle, after which verdict projection is free.
 
 Check kinds handled here: null_rate, empty_content, bounds, col_stats,
 length_quantiles, approx_distinct (SURVEY.md §2.2 P2/P3, §2.4 A1/A3/A4).
+length_quantiles defaults to BINNED cumulative counts (method="bins") — one
+count_if per log-bin edge in the same codegen agg; method="approx" selects
+percentile_approx (measured to dominate the contract at 10M rows: its
+object-agg QuantileSummaries.compress burned ~90% of executor CPU).
 Row-level violations exist only for the predicate checks (null/empty/bounds);
 quantile/distinct checks are stats-only, like RAQC's basin stats report.
 """
@@ -55,6 +59,22 @@ def violation_predicate(check: Check) -> Column:
     raise ValueError(f"{check.kind} has no row-level predicate")
 
 
+def _quantile_conf(check: Check) -> tuple[int, float, float, bool, list[float]]:
+    p = check.p
+    return (
+        int(p.get("num_bins", 128)),
+        float(p.get("lo", 0.0)),
+        float(p.get("hi", 14.0)),
+        bool(p.get("log_scale", True)),
+        list(p.get("qs", (0.5, 0.95, 0.99))),
+    )
+
+
+def _quantile_edges(num_bins: int, lo: float, hi: float) -> list[float]:
+    width = (hi - lo) / num_bins
+    return [lo + width * (i + 1) for i in range(num_bins)]
+
+
 def _agg_exprs(check: Check) -> list[Column]:
     n = check.name
     if check.kind in PREDICATE_KINDS:
@@ -68,13 +88,50 @@ def _agg_exprs(check: Check) -> list[Column]:
             F.stddev_samp(col).alias(f"std_{n}"),
         ]
     if check.kind == "length_quantiles":
-        qs = list(check.p.get("qs", (0.5, 0.95, 0.99)))
-        return [
-            F.percentile_approx(col, qs, APPROX_PERCENTILE_ACCURACY).alias(f"q_{n}")
+        if check.p.get("method", "bins") == "approx":
+            qs = list(check.p.get("qs", (0.5, 0.95, 0.99)))
+            return [
+                F.percentile_approx(
+                    col, qs, APPROX_PERCENTILE_ACCURACY
+                ).alias(f"q_{n}")
+            ]
+        # Default: binned cumulative counts — one count_if per edge inside
+        # the SAME fused codegen hash agg. percentile_approx is a
+        # TypedImperativeAggregate whose QuantileSummaries.compress was
+        # measured (jstack, 10.6M-row run) to dominate the entire contract
+        # and degrade superlinearly with task concurrency; the bin counts
+        # shuffle O(bins) longs, stay in whole-stage codegen, and merge
+        # exactly across partitions/checkpoints. Quantiles resolve to bin
+        # UPPER edges (error = one bin width; log-space by default for
+        # heavy-tailed lengths).
+        num_bins, lo, hi, log_scale, _ = _quantile_conf(check)
+        value = col.cast("double")
+        if log_scale:
+            value = F.log1p(value)
+        return [F.count(col).alias(f"nn_{n}")] + [
+            F.count_if(value <= F.lit(e)).alias(f"ble_{n}_{i}")
+            for i, e in enumerate(_quantile_edges(num_bins, lo, hi))
         ]
     if check.kind == "approx_distinct":
         return [F.approx_count_distinct(col).alias(f"d_{n}")]
     raise ValueError(f"unsupported stats kind {check.kind}")
+
+
+def _bin_quantile(check: Check, q: float) -> Column:
+    """Quantile from binned cumulative counts: the first edge whose
+    cumulative count reaches q·n (clamped to the top edge for values
+    beyond hi — with log bins hi is pinned above any legal length)."""
+    n = check.name
+    num_bins, lo, hi, log_scale, _ = _quantile_conf(check)
+    edges = _quantile_edges(num_bins, lo, hi)
+    cnts = F.array(*[F.col(f"ble_{n}_{i}") for i in range(num_bins)])
+    target = F.lit(q) * F.col(f"nn_{n}")
+    idx = F.size(F.filter(cnts, lambda c: c < target))  # edges below target
+    edge = F.element_at(
+        F.array(*[F.lit(e) for e in edges]),
+        F.least(idx + F.lit(1), F.lit(num_bins)),
+    )
+    return F.expm1(edge) if log_scale else edge
 
 
 def _metric(check: Check) -> Column:
@@ -85,7 +142,11 @@ def _metric(check: Check) -> Column:
     if check.kind == "col_stats":
         return F.col(f"mean_{n}")
     if check.kind == "length_quantiles":
-        return F.element_at(F.col(f"q_{n}"), -1)  # verdict on the top quantile
+        # verdict on the top quantile
+        if check.p.get("method", "bins") == "approx":
+            return F.element_at(F.col(f"q_{n}"), -1)
+        qs = _quantile_conf(check)[4]
+        return _bin_quantile(check, qs[-1])
     if check.kind == "approx_distinct":
         return F.col(f"d_{n}")
     raise ValueError(check.kind)

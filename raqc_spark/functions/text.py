@@ -42,6 +42,20 @@ def token_count_col(text_col: str = "text") -> Column:
     return F.size(F.split(F.col(text_col), " "))
 
 
+# GPT-2-style pre-tokenizer shape: letter runs, digit runs, single
+# punctuation marks. RE2/Java-compatible so DuckDB runs the identical regex.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count_col(text_col: str = "text") -> Column:
+    """BPE-ish token count: word/number/punct pieces via regexp_extract_all
+    — the standard pre-tokenization pass before byte-pair merges, which is
+    the right cardinality proxy for LLM token budgeting."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+    )
+
+
 def quality_cols(text_col: str = "text") -> dict[str, Column]:
     """Deterministic quality features: char/token counts, mean token length,
     alpha ratio, space ratio."""

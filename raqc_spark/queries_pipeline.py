@@ -24,6 +24,8 @@ from raqc_spark.functions.dedup import (
 from raqc_spark.functions.multimodal import documents_as_media, extract_features
 from raqc_spark.functions.simsearch import cosine_topk, lsh_cosine_topk
 from raqc_spark.functions.text import (
+    BPE_TOKEN_RE,
+    bpe_token_count_col,
     fingerprint_col,
     lang_id_col,
     lang_id_sql,
@@ -210,6 +212,69 @@ FROM documents GROUP BY lang
 """
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (round brief: 'whitespace + a BPE-ish regex');
+    whitespace counts are text_token_count above."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count_col("text")).alias("total_bpe_tokens"),
+        F.round(F.avg(bpe_token_count_col("text")), 4).alias("avg_bpe_tokens"),
+    )
+
+
+SQL_TEXT_BPE_TOKENS = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       round(avg(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))), 4)
+         AS avg_bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (round brief dedup flavor): exact
+    all-pairs on a bounded id-range subsample with a DuckDB oracle (the
+    driver embeddings are near-random — max pairwise cosine 0.44 — so the
+    'near-dup' cut sits at the top-0.2% similarity tail, 0.35). The
+    corpus-scale path bounds the pair set with banded LSH candidates
+    (functions.simsearch.lsh_candidates) before this exact filter."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    from raqc_spark.functions.simsearch import _dot, _norm
+
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.35)
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.withColumn("fp", fingerprint_col("text")).groupBy("source").agg(
@@ -271,6 +336,8 @@ PIPELINE_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
@@ -285,6 +352,8 @@ PIPELINE_ORACLE = {
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

@@ -37,6 +37,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from raqc_spark.contract import Contract
 from raqc_spark.plan import CompiledFamily, compile_plan, prepare, union_verdicts
@@ -156,13 +157,19 @@ class Manifest:
         return {k: rows for k, (rows, done) in self.state().items() if done}
 
 
-def _write_violations(violations: DataFrame, out: str) -> None:
+def _write_violations(
+    violations: DataFrame, out: str, keys: tuple[str, ...] = ("partition_id",)
+) -> None:
     """Partition-granular idempotent sink: dynamic overwrite replaces only
-    the partition_id directories present in this write."""
+    the partition directories present in this write. Violations are
+    repartitioned onto their sink partitioning first — one writer task per
+    directory instead of every task writing every directory (at 10^12-file
+    scale the latter is a small-files explosion AND a slow commit)."""
     (
-        violations.write.mode("overwrite")
+        violations.repartition(*[F.col(k) for k in keys])
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("partition_id")
+        .partitionBy(*keys)
         .parquet(out)
     )
 
@@ -217,8 +224,6 @@ def _run_batched(
     write is partitioned by (family, partition_id) with dynamic overwrite, so
     families absent from this run — e.g. already-checkpointed ones during a
     resume — keep their violation parquet intact."""
-    from pyspark.sql import functions as F
-
     verdict_parts, viol_parts = [], []
     for fam, pids in work:
         v, viol = fam.build(pids)
@@ -230,12 +235,7 @@ def _run_batched(
         for p in viol_parts[1:]:
             allv = allv.unionByName(p)
         out = os.path.join(run_dir, "violations")
-        (
-            allv.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("family", "partition_id")
-            .parquet(out)
-        )
+        _write_violations(allv, out, keys=("family", "partition_id"))
     rows = [r.asDict() for r in union_verdicts(verdict_parts).collect()]
     by_check: dict[str, list[dict]] = {}
     for r in rows:
@@ -331,8 +331,11 @@ def run_contract(
             # untouched, or partial-but-unsplittable: (re)run fully
             work.append((fam, None))
     try:
-        if cache and work:
-            s2p.count()  # materialize the cache once before fan-out
+        if cache and work and granularity != "run":
+            # materialize the cache once before the family-thread fan-out
+            # (run mode executes as ONE union job — its first pass populates
+            # the cache without a dedicated extra scan)
+            s2p.count()
         if granularity == "run" and work:
             all_rows.extend(_run_batched(work, run_dir, manifest))
             ran.extend(f.name for f, _ in work)

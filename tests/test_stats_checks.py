@@ -72,3 +72,44 @@ def test_verdicts_invariant_under_repartitioning(spark, snapshots):
         verdicts, _ = compile_stats_pass(df, _checks())
         out.append({tuple(r) for r in verdicts.collect()})
     assert out[0] == out[1]
+
+
+def test_bin_quantile_within_one_bin_of_exact(spark, snapshots):
+    """Binned quantiles (the scale path that replaced percentile_approx in
+    the fused pass — VERDICT r2 jstack finding) land within one log-bin
+    width of the exact percentile."""
+    import math
+
+    _, s2, _ = snapshots
+    df = prepare(s2, default_contract())
+    chk = Check("length_quantiles", "length_quantiles",
+                column="content_length", threshold=Threshold("le", 1e9))
+    verdicts, _ = compile_stats_pass(df, [chk])
+    got = {r["partition_id"]: r["metric_value"] for r in verdicts.collect()}
+
+    lens = (
+        df.select("partition_id", "content_length")
+        .filter(F.col("content_length").isNotNull())
+        .toPandas()
+    )
+    width = 14.0 / 128
+    for pid, edge_v in got.items():
+        vals = lens[lens.partition_id == pid]["content_length"]
+        n = len(vals)
+        edge_log = math.log1p(edge_v)
+        # definitional property: cum count reaches 0.99·n AT this edge ...
+        assert (vals.map(math.log1p) <= edge_log + 1e-9).sum() >= 0.99 * n
+        # ... and had NOT reached it one bin earlier (unless first bin)
+        if edge_log > width + 1e-9:
+            below = (vals.map(math.log1p) <= edge_log - width + 1e-9).sum()
+            assert below < 0.99 * n, (pid, edge_v, below, n)
+
+
+def test_quantile_approx_method_still_available(spark, snapshots):
+    _, s2, _ = snapshots
+    df = prepare(s2, default_contract())
+    chk = Check("length_quantiles", "length_quantiles",
+                column="content_length", threshold=Threshold("le", 1e9),
+                params=(("method", "approx"),))
+    verdicts, _ = compile_stats_pass(df, [chk])
+    assert verdicts.filter("metric_value IS NOT NULL").count() > 0
