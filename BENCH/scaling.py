@@ -40,7 +40,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALING_FILES = int(os.environ.get("SCALING_FILES", "9600000"))
 PAIRS = int(os.environ.get("SCALING_PAIRS", "3"))
-N_CORES, N4_CORES = 2, 8
+N_CORES = int(os.environ.get("SCALING_N", "2"))
+N4_CORES = 4 * N_CORES
 
 CHILD = r"""
 import json, sys
@@ -96,7 +97,9 @@ def run_once(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-PAIRS_LOG = os.path.join(REPO, "BENCH", "scaling_pairs.jsonl")
+PAIRS_LOG = os.path.join(
+    REPO, "BENCH", f"scaling_pairs_{SCALING_FILES}_{N_CORES}to{N4_CORES}.jsonl"
+)
 
 
 def main() -> None:
@@ -149,23 +152,23 @@ def main() -> None:
     b = best
     md = f"""# BENCH/BASELINE.md — measured results (round 2)
 
-## Scaling evidence: local[2] -> local[8] (N -> 4N cores)
+## Scaling evidence: local[{N_CORES}] -> local[{N4_CORES}] (N -> 4N cores)
 
 Same job — the full default contract (fused stats pass + uniqueness +
 referential integrity + hist2d outlier + PSI/KS drift + verdict/violation
 sinks, granularity='run': two actions total) — on the same input
 ({rows:,} rows, {SCALING_FILES:,}-file synthesized code-table fixture,
-seed 42), interleaved (local[2], local[8]) subprocess pairs behind an
+seed 42), interleaved (local[{N_CORES}], local[{N4_CORES}]) subprocess pairs behind an
 idle-window gate, one warm-up (120k fixture) + ONE timed run per fresh JVM.
 
-| pair | quiet window | T_2 (s) | T_8 (s) | efficiency |
+| pair | quiet window | T_{N_CORES} (s) | T_{N4_CORES} (s) | efficiency |
 | --- | --- | --- | --- | --- |
 {rows_tbl}
 
 **Reported (least-interfered pair, fastest combined wall):
-T_2 = {b['n']['wall']:.2f}s ({rows / b['n']['wall']:,.0f} rows/s),
-T_8 = {b['n4']['wall']:.2f}s ({rows / b['n4']['wall']:,.0f} rows/s),
-efficiency = (T_2 / T_8) / 4 = {b['eff']:.3f}** (target >= 0.8).
+T_{N_CORES} = {b['n']['wall']:.2f}s ({rows / b['n']['wall']:,.0f} rows/s),
+T_{N4_CORES} = {b['n4']['wall']:.2f}s ({rows / b['n4']['wall']:,.0f} rows/s),
+efficiency = (T_{N_CORES} / T_{N4_CORES}) / 4 = {b['eff']:.3f}** (target >= 0.8).
 
 ## Why 2 -> 8 cores and not 8 -> 32 (measured round 1)
 
@@ -187,6 +190,24 @@ where scalable work dominates — exactly the regime of a real 100 TB run.
 Identical back-to-back runs vary by up to 6.5x (round-1 observation:
 9.6s vs 62s for the same contract). Hence: interleaved pairs, idle gating,
 min-of-N in bench.py, and the least-interfered pair as the headline.
+
+## Round-2 profiling findings (jstack on live 10.6M-row runs)
+
+Two engine bottlenecks were found BY this measurement and fixed before the
+table above was recorded:
+
+1. **percentile_approx object-agg**: every executor thread sat in
+   `QuantileSummaries.compress` — the TypedImperativeAggregate burned ~90%
+   of contract CPU and degraded superlinearly with task concurrency
+   (memory-pressure-driven recompression). Fix: length quantiles now come
+   from binned cumulative counts (one `count_if` per log-bin edge inside
+   the same fused codegen agg) — O(bins) longs shuffled, whole-stage
+   codegen, exactly mergeable. checks/stats.py.
+2. **uniqueness semi-join fell to sort-merge**: AQE sizes the post-filter
+   dup-key side from pre-filter shuffle stats (one row per key = the whole
+   table), so the join back sorted all 10.6M string keys. Dup keys are
+   violations — rare by contract — so the build side is now explicitly
+   broadcast. checks/uniqueness.py.
 
 ## Why the plan scales on a real cluster
 

@@ -138,7 +138,21 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from raqc_spark.session import get_spark
 
-    spark = get_spark("raqc_bench", master=f"local[{cpus}]")
+    # Size scan splits to the bench fixture: a persisted frame inherits scan
+    # partitioning, so splits must be >= cores or every post-cache stage runs
+    # under-parallel (measured: 6-split scans left local[8] 75% utilized).
+    fixture_root = bench_fixture_dir(BENCH_FIXTURE_FILES)
+    fixture_bytes = sum(
+        os.path.getsize(os.path.join(fixture_root, f))
+        for f in os.listdir(fixture_root)
+        if f.endswith(".parquet")
+    )
+    split = max(2 << 20, min(128 << 20, fixture_bytes // (2 * int(cpus))))
+    spark = get_spark(
+        "raqc_bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(split)},
+    )
     queries = entry_mod.queries()
 
     # ---- warm-up: JVM, codegen paths, shuffle machinery (never timed)
@@ -148,7 +162,6 @@ def main() -> None:
 
     # ---- primary metric: contract throughput, min of N inside (where
     # possible) an idle window
-    fixture_root = bench_fixture_dir(BENCH_FIXTURE_FILES)
     quiet = wait_for_quiet()
     contract = run_contract_bench(spark, fixture_root, runs=CONTRACT_RUNS)
 

@@ -237,7 +237,7 @@ def smooth_hist2d(cells: DataFrame) -> DataFrame:
 
 
 def hist2d_outlier_check(
-    df: DataFrame, check: Check
+    df: DataFrame, check: Check, pool: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Flag rows in rare (lang × content-length-bucket) histogram cells —
     RAQC's 2D-histogram outlier flagging recast (SURVEY.md §2.4 A6 + §2.5 W2).
@@ -290,6 +290,12 @@ def hist2d_outlier_check(
         .filter((F.col("score") / F.col("total")) < F.lit(min_frac))
         .select("lang_cell", "len_bucket")
     )
+    if pool is not None:
+        # tiny (≤ langs × bins rows) but derived from a full-table agg:
+        # persist so the violations sink and verdict agg (separate actions
+        # in run-granularity mode) build the histogram once
+        rare = rare.persist()
+        pool.append(rare)
 
     tagged = df.withColumn("lang_cell", lang_idx).withColumn(
         "len_bucket", bucket

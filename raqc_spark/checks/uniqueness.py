@@ -3,8 +3,14 @@
 Two-phase: (1) hash-agg ``groupBy(keys).count()`` (partial+final, map-side
 combined — safe under key skew because each group's partial collapses to one
 row per map task); (2) **left-semi join back** to materialize full violation
-rows. The semi-join's build side is only the duplicated keys — at healthy
-data that's near-empty, so AQE turns it into a broadcast join at runtime.
+rows. The join's build side is only the duplicated keys and is broadcast
+EXPLICITLY: AQE estimates the post-filter size from the pre-filter shuffle
+stats (one row per key = the whole table), picks sort-merge, and the
+resulting all-string SMJ sort of the fact table was measured (jstack,
+10.6M-row run) to dominate the contract. Dup keys are violations — rare by
+contract — so the broadcast is bounded by the violation budget, not the
+table. (A dataset whose duplicate keys exceed driver memory has already
+catastrophically failed the check; fail loud there.)
 
 Exemplar determinism: within a duplicate group, rows are ranked by
 ``row_number`` ordered by content_sha (SURVEY.md §2.5 dedup_exemplar) so
@@ -22,13 +28,21 @@ from raqc_spark.results import VIOLATION_COLS
 
 
 def uniqueness_check(
-    df: DataFrame, check: Check
+    df: DataFrame, check: Check, pool: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
+    """``pool``: optional persist pool (runner-owned). The dup-key table is
+    tiny (bounded by violations) but expensive to derive (full-table
+    groupBy); persisting it means the violations sink and the verdict
+    aggregation — separate Spark actions in run-granularity mode — derive it
+    once instead of twice."""
     keys = list(check.p.get("keys", ("repo", "path", "commit")))
 
-    dup_keys = df.groupBy(*keys).count().filter(F.col("count") > 1)
+    dup_keys = df.groupBy(*keys).count().filter(F.col("count") > 1).select(*keys)
+    if pool is not None:
+        dup_keys = dup_keys.persist()
+        pool.append(dup_keys)
 
-    dup_rows = df.join(dup_keys.select(*keys), keys, "left_semi")
+    dup_rows = df.join(F.broadcast(dup_keys), keys, "left_semi")
     w = Window.partitionBy(*keys).orderBy(F.col("content_sha"), F.col("lang"))
     violations = (
         dup_rows.withColumn("dup_rank", F.row_number().over(w))
@@ -46,14 +60,17 @@ def uniqueness_check(
         .select(*VIOLATION_COLS)
     )
 
-    # per-partition verdict: duplicate-row rate (exact integer counts)
-    agg = (
-        df.join(dup_keys.select(*keys).withColumn("_dup", F.lit(1)), keys, "left")
-        .groupBy("partition_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_if(F.col("_dup").isNotNull()).alias("n_viol"),
-        )
+    # per-partition verdict: duplicate-row rate from two TINY per-partition
+    # counts joined on partition_id — no join back onto the fact table (the
+    # round-1 broadcast-join-then-count scanned all rows a second time)
+    n_rows_pp = df.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    n_viol_pp = dup_rows.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_viol")
+    )
+    agg = n_rows_pp.join(n_viol_pp, "partition_id", "left").fillna(
+        0, subset=["n_viol"]
     )
     verdicts = verdicts_from_partition_agg(
         agg, check, F.col("n_viol") / F.col("n_rows"), F.col("n_viol")

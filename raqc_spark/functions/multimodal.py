@@ -88,6 +88,64 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, num_frames: int = 4, batch_rows: int = 256
+) -> DataFrame:
+    """Frame sampling (video analogue): emit ``num_frames`` evenly-spaced
+    frames per media row via ``mapInPandas`` — a 1->N Arrow-batched expansion,
+    the exact plumbing a video decoder needs. Codec-gated like decode: with
+    no codec libs, a frame is a deterministic byte slice of the payload.
+    Scale note: output fan-out is num_frames×rows; repartition downstream if
+    frames feed a shuffle, and never collect payload columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                ids, idxs, frames = [], [], []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    if payload is None:
+                        continue
+                    if HAVE_CODECS:  # pragma: no cover
+                        raise NotImplementedError(
+                            "real video frame decode not wired in this container"
+                        )
+                    b = bytes(payload)
+                    step = max(1, len(b) // num_frames)
+                    for i in range(num_frames):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(b[i * step : i * step + min(64, step)])
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+                )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize plumbing (image analogue): payload -> bounded-size payload.
+    With codecs absent this is a deterministic truncation; the schema,
+    Arrow batching and column shapes match a real thumbnailer."""
+    if HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError(
+            "real image resize not wired in this container"
+        )
+    # pure Column expr fallback — no Python at all for the stub
+    return media.withColumn(
+        "payload", F.substring(F.col("payload"), 1, target_bytes)
+    ).withColumn("n_bytes", F.least(F.col("n_bytes"), F.lit(target_bytes).cast("long")))
+
+
 def extract_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
     """mapInPandas feature extraction — Arrow-batched, partition-parallel.
     At scale, repartition upstream so each task holds O(batch) payloads in

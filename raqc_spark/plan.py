@@ -92,6 +92,7 @@ def compile_plan(
     s1: DataFrame | None = None,
     commits_dim: DataFrame | None = None,
     raw_schema=None,
+    pool: list | None = None,
 ) -> list[CompiledFamily]:
     """Compile the contract against prepared snapshot DataFrames.
 
@@ -99,6 +100,9 @@ def compile_plan(
     (drift checks); ``commits_dim`` the referential dim. Pass DataFrames
     already run through ``prepare``; ``raw_schema`` is the pre-prepare
     source schema for the schema check (prepare drops ``content``).
+    ``pool``: optional list collecting tiny persisted intermediates
+    (dup keys, rare histogram cells) shared across the runner's actions;
+    the caller owns unpersisting them.
     """
     contract.validate()
     by_kind: dict[str, list[Check]] = {}
@@ -140,7 +144,7 @@ def compile_plan(
                 f"uniqueness:{chk.name}",
                 (chk,),
                 lambda pids=None, chk=chk: uniqueness_check(
-                    _pfilter(s2, pids), chk
+                    _pfilter(s2, pids), chk, pool=pool
                 ),
             )
         )
@@ -164,7 +168,9 @@ def compile_plan(
             CompiledFamily(
                 f"hist:{chk.name}",
                 (chk,),
-                lambda pids=None, chk=chk: hist2d_outlier_check(s2, chk),
+                lambda pids=None, chk=chk: hist2d_outlier_check(
+                    s2, chk, pool=pool
+                ),
                 splittable=False,
             )
         )

@@ -301,12 +301,30 @@ def run_contract(
 
     all_pids = frozenset(range(contract.partition_spec.num_partitions))
     s2p = prepare(s2, contract)
-    s1p = prepare(s1, contract) if s1 is not None else None
+    persist_pool: list[DataFrame] = []  # tiny persisted intermediates
+    s1p = None
+    if s1 is not None:
+        s1p = prepare(s1, contract)
+        drift_cols = sorted(
+            {
+                c.column
+                for c in contract.checks
+                if c.kind in ("drift_psi", "drift_ks") and c.column
+            }
+        )
+        if cache and drift_cols:
+            # drift is the ONLY consumer of s1: cache the pruned projection
+            # (partition_id + drift columns, ~30 B/row) so PSI and KS share
+            # ONE scan of the previous snapshot instead of re-decompressing
+            # its content column per check
+            s1p = s1p.select("partition_id", *drift_cols).persist()
+            persist_pool.append(s1p)
     if cache:
         s2p = s2p.persist()
 
     families = compile_plan(
-        spark, contract, s2p, s1p, commits_dim, raw_schema=s2.schema
+        spark, contract, s2p, s1p, commits_dim, raw_schema=s2.schema,
+        pool=persist_pool
     )
     all_rows: list[dict] = []
     ran, skipped = [], []
@@ -361,6 +379,8 @@ def run_contract(
     finally:
         if cache:
             s2p.unpersist()
+        for t in persist_pool:
+            t.unpersist()
 
     verdicts = spark.createDataFrame(
         [tuple(r[f.name] for f in VERDICT_SCHEMA.fields) for r in all_rows],

@@ -21,6 +21,16 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local mode: shuffle partitions ~ cores, not the 200 default
     "spark.sql.shuffle.partitions": "32",
+    # Split scans finer than the 128 MB default: the bench fixtures are
+    # single ~0.7 GB parquet files -> only ~6 splits, and a persisted
+    # DataFrame INHERITS scan partitioning, capping every post-cache stage
+    # at 6-way parallelism (measured: local[8] ran scans 75% utilized).
+    # 32 MB gives full utilization at local-mode core counts; a real
+    # multi-executor deployment with many input files should leave the
+    # 128 MB default (override via RAQC_MAX_PARTITION_BYTES).
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "RAQC_MAX_PARTITION_BYTES", "33554432"
+    ),
     "spark.ui.enabled": "false",
     # local mode: the driver heap is the only executor memory. Undersizing it
     # turns the 1 MB-content outlier rows into G1 old-gen churn — measured as

@@ -92,3 +92,29 @@ def test_hist2d_counts(spark):
     cells = hist2d(df, "x", "y", 0.0, 10.0, 10, 0.0, 100.0, 10)
     total = cells.agg(F.sum("cnt")).collect()[0][0]
     assert total == 100
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    """Frame sampling (1->N Arrow expansion) + resize plumbing: shapes,
+    counts, determinism (codec stubs, round-sanctioned)."""
+    from raqc_spark.functions.multimodal import (
+        documents_as_media,
+        resize_media,
+        sample_frames,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = documents_as_media(d.limit(50))
+    frames = sample_frames(media, num_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 50 * 4
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
+    assert all(isinstance(bytes(r["frame_payload"]), bytes) for r in rows)
+    # deterministic
+    again = frames.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    small = resize_media(media, target_bytes=16)
+    got = small.agg(F.max("n_bytes")).collect()[0][0]
+    assert got <= 16
+    assert small.filter(F.octet_length("payload") > 16).count() == 0
