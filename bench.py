@@ -34,7 +34,7 @@ sys.path.insert(0, REPO)
 
 WARMUP_FIXTURE_FILES = 120_000
 BENCH_FIXTURE_FILES = 600_000
-CONTRACT_RUNS = 3
+CONTRACT_RUNS = 2
 HEADLINE = [
     "pricing_summary",
     "check_col_stats",
@@ -80,7 +80,7 @@ def _procs_running() -> int:
 
 
 def wait_for_quiet(
-    threshold: int = 6, samples: int = 2, timeout: float = 120
+    threshold: int = 6, samples: int = 2, timeout: float = 60
 ) -> bool:
     """Bounded idle-window gate (co-tenants come and go on minute scales).
     Returns False on timeout — the bench still runs, min-of-N protects it."""
