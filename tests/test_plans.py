@@ -137,3 +137,39 @@ def test_set_ops_compiles_lazily(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "count(" in plan.lower()  # counts computed IN the plan
     assert "events" in plan or "parquet" in plan.lower()
+
+
+def test_stats_pass_has_no_object_aggregate(spark, snapshots):
+    """Regression (round-2 jstack finding): the fused stats pass must stay in
+    whole-stage codegen — percentile_approx's ObjectHashAggregate dominated
+    the contract at 10M rows before the binned-quantile rework."""
+    from raqc_spark.checks.stats import compile_stats_pass
+    from raqc_spark.contract import default_contract
+    from raqc_spark.plan import prepare
+
+    _, s2, _ = snapshots
+    df = prepare(s2, default_contract())
+    stats = [c for c in default_contract().checks
+             if c.kind in {"null_rate", "empty_content", "bounds",
+                           "length_quantiles", "approx_distinct", "col_stats"}]
+    verdicts, _ = compile_stats_pass(df, stats)
+    plan = verdicts._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan, plan[:2000]
+
+
+def test_uniqueness_joins_are_broadcast(spark, snapshots):
+    """Regression (round-2 jstack finding): the dup-key join back must be a
+    broadcast, never a sort-merge join over the fact table (AQE sizes the
+    post-filter side from pre-filter stats and picks SMJ otherwise)."""
+    from raqc_spark.checks.uniqueness import uniqueness_check
+    from raqc_spark.contract import Check, Threshold, default_contract
+    from raqc_spark.plan import prepare
+
+    _, s2, _ = snapshots
+    df = prepare(s2, default_contract())
+    chk = Check("uniq", "uniqueness", threshold=Threshold("le", 0.05),
+                params=(("keys", ("repo", "path", "commit")),))
+    verdicts, violations = uniqueness_check(df, chk)
+    for d in (verdicts, violations):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan[:2000]
