@@ -102,3 +102,43 @@ def test_contract_yaml_rejects_unknown_kind():
     bad = "checks:\n- name: x\n  kind: nonsense\n"
     with _pytest.raises(ValueError, match="unknown check kind"):
         Contract.from_yaml(bad)
+
+
+def test_bin_quantile_rank_property_random_data(spark):
+    """Property (hypothesis-style, seed-pinned loop): for random length
+    distributions, the binned p-quantile edge E satisfies the rank
+    definition: count(v <= E) >= p*n and count(v <= prev_edge) < p*n."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from raqc_spark.checks.stats import compile_stats_pass
+    from raqc_spark.contract import Check, Threshold
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        lens = np.clip(
+            rng.lognormal(rng.uniform(3, 8), rng.uniform(0.5, 2.0), 2000),
+            1, 2_000_000,
+        ).astype(int)
+        df = spark.createDataFrame(
+            [(int(v),) for v in lens], ["content_length"]
+        ).withColumn("partition_id", F.lit(0)).withColumn(
+            "repo", F.lit("r")
+        ).withColumn("path", F.lit("p")).withColumn(
+            "commit", F.lit("c")
+        ).withColumn("content_sha", F.lit("s"))
+        chk = Check("lq", "length_quantiles", column="content_length",
+                    threshold=Threshold("le", 1e12),
+                    params=(("qs", (0.5, 0.9, 0.99)),))
+        verdicts, _ = compile_stats_pass(df, [chk])
+        edge = verdicts.collect()[0]["metric_value"]  # p99 edge
+        n = len(lens)
+        le = (np.log1p(lens) <= math.log1p(edge) + 1e-9).sum()
+        assert le >= 0.99 * n, (trial, edge, le, n)
+        width = 14.0 / 128
+        prev = math.log1p(edge) - width
+        if prev > 1e-9:
+            below = (np.log1p(lens) <= prev + 1e-9).sum()
+            assert below < 0.99 * n, (trial, edge, below, n)
