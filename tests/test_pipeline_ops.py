@@ -74,3 +74,43 @@ def test_simhash_pairs_pigeonhole_guard():
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(None, max_hamming=4, bands=4)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """MinHash est_jaccard on LSH candidates stays within sketch tolerance
+    (64 hashes -> se ~ sqrt(j(1-j)/64) <= 0.0625) of exact shingle Jaccard."""
+    from raqc_spark.functions.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+        unigram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    tok = doc_shingles(d, "doc_id", n=3)
+    sig = minhash_signatures(tok, num_hashes=64).persist()
+    pairs = lsh_candidate_pairs(sig, num_hashes=64, bands=16)
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_jaccard_estimate(sig, pairs, 64)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    assert est, "expected some near-dup candidates in driver documents"
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in unigram_jaccard_pairs(tok, min_jaccard=0.0)
+        .join(
+            spark.createDataFrame(
+                [(a, b) for a, b in est], ["doc_a", "doc_b"]
+            ),
+            ["doc_a", "doc_b"],
+            "left_semi",
+        )
+        .collect()
+    }
+    sig.unpersist()
+    for pair, e in est.items():
+        x = exact.get(pair, 0.0)
+        assert abs(e - x) <= 4 * 0.0625, (pair, e, x)

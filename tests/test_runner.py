@@ -223,3 +223,16 @@ def test_run_mode_resume_preserves_checkpointed_violations(
                        granularity="run")
     assert res.families_run == ["stats"]
     assert spark.read.parquet(uniq_dir).count() == before
+
+
+def test_cache_off_verdicts_identical(spark, snapshots, tmp_path):
+    """Caching is a local-mode convenience, never a correctness dependency
+    (docs/SCALE.md): cache=False must produce bit-identical verdicts."""
+    s1, s2, commits = snapshots
+    a = run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                     run_dir=str(tmp_path / "c1"), resume=False, cache=True)
+    b = run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                     run_dir=str(tmp_path / "c0"), resume=False, cache=False)
+    assert {tuple(r) for r in a.verdicts.collect()} == {
+        tuple(r) for r in b.verdicts.collect()
+    }
