@@ -163,6 +163,116 @@ def lsh_candidates(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    num_centroids: int = 16,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization with data-sampled centroids.
+
+    Centroids are ``num_centroids`` REAL corpus vectors chosen by hash order
+    (deterministic k-means|| -style seeding without an iterative fit — at
+    100 TB a periodic offline k-means refines them; the query plumbing is
+    identical). Returns (centroids, assignments): each vector is assigned to
+    its ``nprobe`` nearest centroids by cosine via a broadcast join + max_by
+    / rank — the corpus never shuffles for assignment.
+    """
+    centroids = (
+        emb.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+        .orderBy(F.xxhash64(F.col("cid")))
+        .limit(num_centroids)
+        .withColumn("cnorm", _norm(F.col("cvec")))
+    )
+    e = emb.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+    ).withColumn("vnorm", _norm(F.col("vec")))
+    scored = e.join(F.broadcast(centroids), how="cross").select(
+        "doc",
+        "cid",
+        (
+            _dot(F.col("vec"), F.col("cvec"))
+            / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("sim"),
+    )
+    if nprobe <= 1:
+        assign = scored.groupBy("doc").agg(F.max_by("cid", "sim").alias("cid"))
+    else:
+        w = Window.partitionBy("doc").orderBy(F.desc("sim"), F.asc("cid"))
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= nprobe)
+            .select("doc", "cid")
+        )
+    return centroids, assign
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in ONE inverted list (their nearest
+    centroid); queries probe their ``nprobe`` nearest lists; exact cosine
+    ranks the candidates. Cost tracks list occupancy (~rows·nprobe/centroids
+    candidate pairs), not n². The alternative scale path to lsh_cosine_topk;
+    recall is pinned against exact top-k in tests/test_pipeline_ops.py.
+    """
+    _, corpus_assign = ivf_assignments(
+        emb, num_centroids, nprobe=1, id_col=id_col, vec_col=vec_col
+    )
+    _, query_probe = ivf_assignments(
+        emb, num_centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    )
+    cand = (
+        query_probe.select(F.col("doc").alias("q_id"), "cid")
+        .join(
+            corpus_assign.select(F.col("doc").alias("c_id"), "cid"), "cid"
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    e = emb.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+    )
+    qa = e.select(
+        F.col("doc").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cb = e.select(
+        F.col("doc").alias("c_id"), F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cand.join(qa, "q_id")
+        .join(cb, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     k: int = 5,

@@ -22,7 +22,11 @@ from raqc_spark.functions.dedup import (
     unigram_jaccard_pairs,
 )
 from raqc_spark.functions.multimodal import documents_as_media, extract_features
-from raqc_spark.functions.simsearch import cosine_topk, lsh_cosine_topk
+from raqc_spark.functions.simsearch import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from raqc_spark.functions.text import (
     BPE_TOKEN_RE,
     bpe_token_count_col,
@@ -131,6 +135,15 @@ SELECT q_id, c_id, cosine, rk FROM (
   FROM scored)
 WHERE rk <= 5
 """
+
+
+def q_simsearch_ivf(spark, sf_dir):
+    """IVF ANN scale path (rows-only): hash-seeded data-sampled centroids,
+    nprobe inverted lists, exact cosine on candidates. Recall >= 0.9 on
+    clustered vectors is pinned in tests; the driver embeddings are
+    near-uniform (IVF's worst case), so LSH is the default path there."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(e, k=3, num_centroids=16, nprobe=6)
 
 
 def q_simsearch_lsh(spark, sf_dir):
@@ -333,6 +346,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "simsearch_cosine_topk": q_simsearch_cosine_topk,
     "simsearch_lsh": q_simsearch_lsh,
+    "simsearch_ivf": q_simsearch_ivf,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
