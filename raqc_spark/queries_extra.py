@@ -172,6 +172,42 @@ SELECT
 """
 
 
+def q_running_value(spark, sf_dir):
+    """§2.5 window op: per-user running sum of event values, top event per
+    user by running total (combines cumulative frame + ranked selection)."""
+    e = load_table(spark, sf_dir, "events")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.round(F.sum("value").over(wcum), 4)
+    latest = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("running_value", running)
+        .withColumn("rk", F.row_number().over(latest))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "running_value")
+    )
+
+
+SQL_RUNNING_VALUE = """
+SELECT user_id, event_id, running_value FROM (
+  SELECT user_id, event_id,
+         round(sum(value) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 4)
+           AS running_value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events)
+WHERE rk = 1
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 parts by retail price per brand (rank on rounded metric + key
     so the selected set is deterministic)."""
@@ -241,6 +277,7 @@ EXTRA_QUERIES = {
     "sessionization": q_sessionization,
     "set_ops": q_set_ops,
     "topk_per_group": q_topk_per_group,
+    "running_value": q_running_value,
     "hist_outlier": q_hist_outlier,
 }
 
@@ -252,6 +289,7 @@ EXTRA_ORACLE = {
     "sessionization": SQL_SESSIONIZATION,
     "set_ops": SQL_SET_OPS,
     "topk_per_group": SQL_TOPK_PER_GROUP,
+    "running_value": SQL_RUNNING_VALUE,
     "hist_outlier": SQL_HIST_OUTLIER,
 }
 

@@ -288,6 +288,43 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_text_quality_filter(spark, sf_dir):
+    """Quality FILTERING (the pipeline action on top of scoring): keep docs
+    passing the standard gates (enough tokens, mostly alphabetic, sane
+    whitespace) — the predicate is pure codegen'd Column exprs, pushed at
+    the scan. Returns the per-lang survivor counts + rate."""
+    d = load_table(spark, sf_dir, "documents")
+    qc = quality_cols("text")
+    keep = (
+        (qc["n_tokens"] >= 5)
+        & (qc["alpha_ratio"] >= 0.6)
+        & (qc["space_ratio"] <= 0.3)
+    )
+    return d.withColumn("keep", keep).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.round(F.count_if(F.col("keep")) / F.count(F.lit(1)), 6).alias(
+            "keep_rate"
+        ),
+    )
+
+
+SQL_TEXT_QUALITY_FILTER = """
+WITH scored AS (
+  SELECT lang,
+         (len(string_split(text, ' ')) >= 5
+          AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / length(text), 6) >= 0.6
+          AND round(CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                    AS DOUBLE) / length(text), 6) <= 0.3) AS keep
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       round(CAST(count(*) FILTER (keep) AS DOUBLE) / count(*), 6) AS keep_rate
+FROM scored GROUP BY lang
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.withColumn("fp", fingerprint_col("text")).groupBy("source").agg(
@@ -351,6 +388,7 @@ PIPELINE_QUERIES = {
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "text_quality_filter": q_text_quality_filter,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -367,6 +405,7 @@ PIPELINE_ORACLE = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
+    "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
