@@ -57,7 +57,23 @@ HEADLINE = [
 
 
 def bench_fixture_dir(n_files: int = BENCH_FIXTURE_FILES) -> str:
-    """Generate-once cache of the bench-scale code fixture."""
+    """Generate-once cache of the bench-scale code fixture.
+
+    <= 10M files: the pandas generator (exact golden bookkeeping, single
+    core). Beyond that: the Spark-native generator (fixtures/generate_spark
+    — same shape and violation rates, parallel, multi-file output; the
+    pandas one ran >80 min at 19.2M files)."""
+    if n_files > 10_000_000:
+        root = os.path.join(REPO, "BENCH", "fixtures", f"code_spark_{n_files}")
+        marker = os.path.join(root, "_complete")
+        if not os.path.exists(marker):
+            from fixtures.generate_spark import write_spark_fixture
+            from raqc_spark.session import get_spark
+
+            spark = get_spark("raqc_fixture_gen")
+            write_spark_fixture(spark, root, n_files, files_out=64)
+            open(marker, "w").write("ok")
+        return root
     root = os.path.join(REPO, "BENCH", "fixtures", f"code_{n_files}")
     marker = os.path.join(root, "_complete")
     if not os.path.exists(marker):
