@@ -73,6 +73,10 @@ def bench_fixture_dir(n_files: int = BENCH_FIXTURE_FILES) -> str:
             spark = get_spark("raqc_fixture_gen")
             write_spark_fixture(spark, root, n_files, files_out=64)
             open(marker, "w").write("ok")
+            # stop the generator session: a later get_spark(extra_conf=...)
+            # is getOrCreate and would silently inherit THIS session's conf
+            # (ADVICE r2 — the tuned maxPartitionBytes never applied)
+            spark.stop()
         return root
     root = os.path.join(REPO, "BENCH", "fixtures", f"code_{n_files}")
     marker = os.path.join(root, "_complete")
@@ -158,11 +162,13 @@ def main() -> None:
     # partitioning, so splits must be >= cores or every post-cache stage runs
     # under-parallel (measured: 6-split scans left local[8] 75% utilized).
     fixture_root = bench_fixture_dir(BENCH_FIXTURE_FILES)
-    fixture_bytes = sum(
-        os.path.getsize(os.path.join(fixture_root, f))
-        for f in os.listdir(fixture_root)
-        if f.endswith(".parquet")
-    )
+    # recursive walk: Spark-generated fixtures write *.parquet DIRECTORIES
+    # (ADVICE r2 — getsize on a dir is ~0 and clamped the split to the floor)
+    fixture_bytes = 0
+    for dirpath, _dirnames, filenames in os.walk(fixture_root):
+        for f in filenames:
+            if f.endswith(".parquet"):
+                fixture_bytes += os.path.getsize(os.path.join(dirpath, f))
     split = max(2 << 20, min(128 << 20, fixture_bytes // (2 * int(cpus))))
     spark = get_spark(
         "raqc_bench",

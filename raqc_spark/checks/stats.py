@@ -131,7 +131,12 @@ def _bin_quantile(check: Check, q: float) -> Column:
         F.array(*[F.lit(e) for e in edges]),
         F.least(idx + F.lit(1), F.lit(num_bins)),
     )
-    return F.expm1(edge) if log_scale else edge
+    out = F.expm1(edge) if log_scale else edge
+    # zero non-null values: no count is < 0 -> idx=0 would fabricate the
+    # first bin edge as a quantile; return NULL like percentile_approx does
+    return F.when(F.col(f"nn_{n}") == 0, F.lit(None).cast("double")).otherwise(
+        out
+    )
 
 
 def _metric(check: Check) -> Column:

@@ -36,8 +36,31 @@ def uniqueness_check(
     aggregation — separate Spark actions in run-granularity mode — derive it
     once instead of twice."""
     keys = list(check.p.get("keys", ("repo", "path", "commit")))
+    max_dup_keys = int(check.p.get("max_dup_keys", 2_000_000))
 
     dup_keys = df.groupBy(*keys).count().filter(F.col("count") > 1).select(*keys)
+    # Broadcast budget guard (ADVICE r2): a pathological keys config can make
+    # a large share of the table "duplicates"; the explicit broadcast below
+    # would then OOM the driver deep into the run. Enforce the budget IN-PLAN
+    # (count window over the tiny dup-key table + assert_true inside a
+    # filter, which Catalyst cannot prune) so the check fails loud with a
+    # clear message instead. The single-partition window moves only the data
+    # the broadcast was about to collect anyway.
+    n_dup = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    guard = F.assert_true(
+        F.col("_n_dup_keys") <= F.lit(max_dup_keys),
+        F.lit(
+            f"uniqueness check {check.name!r}: duplicate-key count exceeds "
+            f"max_dup_keys={max_dup_keys}; the keys config "
+            f"{tuple(keys)!r} likely has too-low cardinality (raise "
+            "max_dup_keys in check params if this volume is intended)"
+        ),
+    )
+    dup_keys = (
+        dup_keys.withColumn("_n_dup_keys", n_dup)
+        .filter(guard.isNull())
+        .select(*keys)
+    )
     if pool is not None:
         dup_keys = dup_keys.persist()
         pool.append(dup_keys)

@@ -135,32 +135,32 @@ def minhash_jaccard_estimate(
 
 def simhash(tok: DataFrame) -> DataFrame:
     """64-bit SimHash per doc. Each token hash votes ±1 per bit; the sign
-    vector packs back into one long. tokens×64 rows flow through ONE
-    partial-agg'd groupBy — no Python, no UDF."""
-    bits = tok.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        F.xxhash64("token").alias("hv"),
-    ).select(
-        "doc",
-        "b",
-        F.expr("(CAST(shiftright(hv, CAST(b AS INT)) & 1 AS BIGINT) * 2 - 1)").alias(
-            "vote"
-        ),
-    )
-    return (
-        bits.groupBy("doc", "b")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("v") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    vector packs back into one long.
+
+    Plan (VERDICT r2 fix): 64 per-bit sums as 64 aggregate expressions in
+    ONE ``groupBy("doc")`` — the minhash_signatures pattern — instead of
+    exploding every token row ×64 (which multiplied the shuffle input
+    64-fold and needed a second groupBy). Bit i's vote sum over n tokens is
+    ``2·Σ bit_i − n``, so summing the raw bit plus one shared count
+    reproduces the sign vote exactly; partial aggregation collapses each
+    map task to one row per doc before the single shuffle."""
+    hv = tok.select("doc", F.xxhash64("token").alias("hv"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1))).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    per_doc = hv.groupBy("doc").agg(*aggs)
+    # bit i set iff vote sum > 0 iff 2·s_i > n; sum distinct powers of two
+    # (bit 63's shiftleft wraps to Long.MIN_VALUE — same two's-complement
+    # packing the explode version produced)
+    packed = None
+    for i in range(64):
+        term = F.when(
+            F.lit(2) * F.col(f"s_{i}") > F.col("n"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})"),
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return per_doc.select("doc", packed.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -138,7 +138,14 @@ def compile_plan(
         )
 
     for chk in by_kind.get("uniqueness", []):
-        # splittable: every row of a key group shares repo -> one partition_id
+        # Splittable ONLY when the check keys include the partitioning key:
+        # then every row of a key group shares the partition key -> one
+        # partition_id, and a partition-restricted run sees whole groups.
+        # With user-configured keys that omit it (e.g. keys=("path",)),
+        # duplicate groups can span partition_ids and a partial/batched run
+        # would silently miss cross-subset duplicates (ADVICE r2) — such
+        # checks always execute over all partitions in one piece.
+        keys = tuple(chk.p.get("keys", ("repo", "path", "commit")))
         families.append(
             CompiledFamily(
                 f"uniqueness:{chk.name}",
@@ -146,6 +153,7 @@ def compile_plan(
                 lambda pids=None, chk=chk: uniqueness_check(
                     _pfilter(s2, pids), chk, pool=pool
                 ),
+                splittable=contract.partition_spec.key in keys,
             )
         )
 

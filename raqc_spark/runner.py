@@ -33,6 +33,7 @@ import os
 import re
 import shutil
 import threading
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
@@ -62,24 +63,41 @@ class RunResult:
         return self.verdicts.filter("NOT pass").count() == 0
 
 
+def _file_stamp(uri: str) -> str:
+    """path + size + mtime: a parquet file rewritten IN PLACE at the same
+    path (same name, new data) must change the fingerprint, or resume would
+    silently reuse stale checkpointed verdicts (ADVICE r2)."""
+    path = uri[len("file:"):] if uri.startswith("file:") else uri
+    try:
+        st = os.stat(path)
+        return f"{uri}#{st.st_size}#{st.st_mtime_ns}"
+    except OSError:  # pragma: no cover - remote/object-store URI: path only
+        return uri
+
+
 def contract_fingerprint(
     contract: Contract,
     s2: DataFrame,
     s1: DataFrame | None,
     commits_dim: DataFrame | None,
 ) -> str:
-    """Identity of (contract spec, input files). Frozen-dataclass repr is
-    deterministic; inputFiles() is scan metadata (no job). In-memory test
-    DataFrames list no files — their fingerprint covers the contract only."""
+    """Identity of (contract spec, input files + their sizes/mtimes).
+    Frozen-dataclass repr is deterministic; inputFiles() is scan metadata
+    (no job). In-memory test DataFrames list no files — their fingerprint
+    covers the contract only. A source that cannot enumerate files at all
+    gets a unique token: such runs are NOT resumable (there is no way to
+    prove the checkpointed data is the same data)."""
     parts = [repr(contract)]
     for df in (s2, s1, commits_dim):
         if df is None:
             parts.append("-")
         else:
             try:
-                parts.append(",".join(sorted(df.inputFiles())))
+                parts.append(
+                    ",".join(sorted(_file_stamp(u) for u in df.inputFiles()))
+                )
             except Exception:  # pragma: no cover - non-file sources
-                parts.append("?")
+                parts.append(f"?nonresumable:{uuid.uuid4()}")
     return hashlib.sha256("||".join(parts).encode()).hexdigest()
 
 

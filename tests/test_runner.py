@@ -236,3 +236,24 @@ def test_cache_off_verdicts_identical(spark, snapshots, tmp_path):
     assert {tuple(r) for r in a.verdicts.collect()} == {
         tuple(r) for r in b.verdicts.collect()
     }
+
+
+def test_resume_refuses_rewritten_input_files(spark, snapshots, tmp_path):
+    """Same paths, new data: the fingerprint folds file sizes/mtimes, so a
+    parquet snapshot rewritten IN PLACE must not silently resume against
+    stale checkpointed verdicts (ADVICE r2)."""
+    import pytest as _pytest
+
+    s1, s2, commits = snapshots
+    p = str(tmp_path / "s2_rw.parquet")
+    s2.write.mode("overwrite").parquet(p)
+    rd = str(tmp_path / "run_rw")
+    df1 = spark.read.parquet(p)
+    run_contract(spark, default_contract(), df1, s1=s1, commits_dim=commits,
+                 run_dir=rd, resume=True)
+    # rewrite in place with different data (drop some rows)
+    s2.filter("lang = 'python'").write.mode("overwrite").parquet(p)
+    df2 = spark.read.parquet(p)
+    with _pytest.raises(ValueError, match="different contract or inputs"):
+        run_contract(spark, default_contract(), df2, s1=s1,
+                     commits_dim=commits, run_dir=rd, resume=True)

@@ -113,3 +113,22 @@ def test_quantile_approx_method_still_available(spark, snapshots):
                 params=(("method", "approx"),))
     verdicts, _ = compile_stats_pass(df, [chk])
     assert verdicts.filter("metric_value IS NOT NULL").count() > 0
+
+
+def test_bin_quantile_all_null_column_yields_null_metric(spark):
+    """Zero non-null values: the binned quantile must resolve to NULL (like
+    percentile_approx), not fabricate the first bin edge (ADVICE r2); the
+    verdict then fails via the NULL->false coalesce, never passes on a
+    phantom metric."""
+    from raqc_spark.checks.stats import compile_stats_pass
+    from raqc_spark.contract import Check, Threshold
+
+    df = spark.createDataFrame(
+        [(0, None)] * 10, "partition_id int, content_length int"
+    )
+    chk = Check("lq_null", "length_quantiles", column="content_length",
+                threshold=Threshold("le", 10.0))
+    verdicts, _ = compile_stats_pass(df, [chk])
+    row = verdicts.collect()[0]
+    assert row["metric_value"] is None
+    assert row["pass"] is False
