@@ -29,14 +29,18 @@ from raqc_spark.results import VIOLATION_COLS
 PSI_EPS = 1e-6  # smoothing for empty categories, pinned in the contract
 
 
-def bucket_col(col: Column, lo: float, hi: float, num_bins: int) -> Column:
+def bucket_col(
+    col: Column, lo: float | Column, hi: float | Column, num_bins: int
+) -> Column:
     """Deterministic fixed-width bucket index in [0, num_bins-1].
 
     Explicit floor arithmetic (not width_bucket) so the identical formula
     runs on any ANSI engine — the DuckDB oracle uses the same expression.
-    """
-    width = (hi - lo) / num_bins
-    raw = F.floor((col.cast("double") - F.lit(float(lo))) / F.lit(width))
+    ``lo``/``hi`` may be Columns (in-plan derived edges, drift_ks)."""
+    lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
+    hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(num_bins)
+    raw = F.floor((col.cast("double") - lo_c) / width)
     return F.least(F.greatest(raw, F.lit(0)), F.lit(num_bins - 1)).cast("int")
 
 
@@ -113,7 +117,12 @@ def drift_psi(
 
 
 def binned_ecdf(
-    df: DataFrame, value: Column, lo: float, hi: float, num_bins: int, cnt_name: str
+    df: DataFrame,
+    value: Column,
+    lo: float | Column,
+    hi: float | Column,
+    num_bins: int,
+    cnt_name: str,
 ) -> DataFrame:
     b = bucket_col(value, lo, hi, num_bins).alias("bucket")
     return (
@@ -133,9 +142,13 @@ def drift_ks(
     """Binned-ECDF Kolmogorov-Smirnov per partition (SURVEY.md §2.5 W3).
 
     D = max_b |F1(b) − F2(b)| over deterministic fixed bins. Bin edges come
-    from params or from s1's global min/max (two scalars — a cheap, exact
-    pre-agg; at 100 TB this is a column-pruned scan of one numeric column,
-    or supply the edges in the contract to skip it).
+    from params, or — when the contract doesn't pin them — from s1's global
+    min/max derived IN-PLAN: the 1-row (lo, hi) aggregate is broadcast-
+    cross-joined onto both row streams, so the whole check stays one lazy
+    DAG with no driver round-trip (the round-1/2 eager driver-collect
+    fallback cost an extra scan per un-pinned check; VERDICT r2 task 6). At
+    100 TB the pre-agg is still a column-pruned scan — pin (lo, hi) in the
+    contract to skip it entirely.
     """
     column, p = check.column, check.p
     num_bins = int(p.get("num_bins", 64))
@@ -148,17 +161,33 @@ def drift_ks(
         lo = p.get("lo")
     if hi is None:
         hi = p.get("hi")
+    lo_c: float | Column
+    hi_c: float | Column
     if lo is None or hi is None:
-        # fall back to s1's global range — a cheap column-pruned 2-scalar agg
-        row = s1.agg(F.min(value).alias("lo"), F.max(value).alias("hi")).collect()[0]
-        lo = float(row["lo"]) if lo is None else float(lo)
-        hi = float(row["hi"]) if hi is None else float(hi)
-    lo, hi = float(lo), float(hi)
-    if hi <= lo:
-        hi = lo + 1.0
+        mm = F.broadcast(
+            s1.agg(
+                F.min(value).cast("double").alias("_ks_lo"),
+                F.max(value).cast("double").alias("_ks_hi"),
+            )
+        )
+        s1 = s1.crossJoin(mm)
+        s2 = s2.crossJoin(mm)
+        lo_c = F.col("_ks_lo") if lo is None else F.lit(float(lo))
+        hi_raw = F.col("_ks_hi") if hi is None else F.lit(float(hi))
+        # degenerate range (all-equal values, or empty s1 -> NULLs): widen to
+        # one unit so the bucket width is never 0/NULL, matching the float
+        # path's `hi = lo + 1.0` guard
+        lo_c = F.coalesce(lo_c, F.lit(0.0))
+        hi_raw = F.coalesce(hi_raw, F.lit(1.0))
+        hi_c = F.when(hi_raw <= lo_c, lo_c + F.lit(1.0)).otherwise(hi_raw)
+    else:
+        lo_f, hi_f = float(lo), float(hi)
+        if hi_f <= lo_f:
+            hi_f = lo_f + 1.0
+        lo_c, hi_c = lo_f, hi_f
 
-    e1 = binned_ecdf(s1, value, lo, hi, num_bins, "cnt1")
-    e2 = binned_ecdf(s2, value, lo, hi, num_bins, "cnt2")
+    e1 = binned_ecdf(s1, value, lo_c, hi_c, num_bins, "cnt1")
+    e2 = binned_ecdf(s2, value, lo_c, hi_c, num_bins, "cnt2")
     cells = e1.join(e2, ["partition_id", "bucket"], "full_outer").fillna(
         0, subset=["cnt1", "cnt2"]
     )

@@ -201,3 +201,25 @@ def test_simhash_plan_has_no_explode_and_one_shuffle(spark):
     plan = simhash(tok.select("doc", "token"))._jdf.queryExecution().optimizedPlan().toString()
     # exactly the tokenizer's explode — the signature build adds none
     assert plan.count("Generate explode") == 1
+
+
+def test_ivf_single_scoring_pass(spark):
+    """VERDICT r2: ivf_cosine_topk must score corpus×centroids ONCE. The
+    corpus assignment derives from the same ranked frame as the query probes
+    (min_by, not a rank filter), so AQE plans the window's shuffle once and
+    the second consumer is a ReusedExchange — asserted on the FINAL adaptive
+    plan (the initial plan always shows both subtrees). Uses an UNCACHED
+    scan: per-branch table-cache query stages canonicalize differently and
+    mask the reuse, so the persisted test fixture can't exercise this."""
+    from raqc_spark.functions.simsearch import ivf_cosine_topk
+
+    emb = spark.read.parquet(EMB)
+    q = ivf_cosine_topk(emb, k=3, num_centroids=8, nprobe=4)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    # one executed scoring join; its doc-window exchange reused by the
+    # corpus-assignment branch
+    assert final.count("BroadcastNestedLoopJoin") == 1, final
+    assert "ReusedExchange" in final and "hashpartitioning(doc" in final
