@@ -29,7 +29,11 @@ def main() -> None:
     cores = int(os.environ.get("JOBCOUNT_CORES", "8"))
     spark = get_spark(
         "raqc_jobcount", master=f"local[{cores}]",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # REST attribution needs the UI; engine default disables it
+            "spark.ui.enabled": "true",
+        },
     )
     root = bench.bench_fixture_dir(files)
     s1 = spark.read.parquet(f"{root}/code_files_s1.parquet")
@@ -51,13 +55,30 @@ def main() -> None:
     res.verdicts.collect()
     wall = time.perf_counter() - t0
     sc.setJobGroup("", "")
-    ids = sc.statusTracker().getJobIdsForGroup("contract")
+    ids = set(sc.statusTracker().getJobIdsForGroup("contract"))
     print(f"files={files} cores={cores} jobs={len(ids)} wall={wall:.2f}s")
-    tracker = sc.statusTracker()
-    for jid in sorted(ids):
-        ji = tracker.getJobInfo(jid)
-        if ji:
-            print(f"  job {jid}: stages={list(ji.stageIds)} status={ji.status}")
+    # attribute each job via the UI REST API (name + duration)
+    try:
+        import json as _json
+        import urllib.request
+
+        base = sc.uiWebUrl
+        app = sc.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/jobs") as r:
+            jobs = _json.load(r)
+        for j in sorted(jobs, key=lambda x: x["jobId"]):
+            if j["jobId"] in ids:
+                dur = ""
+                if j.get("submissionTime") and j.get("completionTime"):
+                    from datetime import datetime
+
+                    fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+                    t0_ = datetime.strptime(j["submissionTime"][:-3], fmt.replace("%Z", ""))
+                    t1_ = datetime.strptime(j["completionTime"][:-3], fmt.replace("%Z", ""))
+                    dur = f" {(t1_ - t0_).total_seconds():.2f}s"
+                print(f"  job {j['jobId']}{dur}: {j['name'][:110]}")
+    except Exception as e:  # pragma: no cover
+        print("REST attribution unavailable:", e)
     shutil.rmtree(run_dir, ignore_errors=True)
 
 

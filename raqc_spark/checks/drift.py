@@ -84,6 +84,26 @@ def _cat_counts(df: DataFrame, column: str) -> DataFrame:
     return df.groupBy("partition_id", val).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _psi_from_cells(cells: DataFrame, check: Check) -> DataFrame:
+    """PSI table from per-(partition, val) cnt1/cnt2 cells — the shared math
+    tail of drift_psi and compile_drift_pass (bit-identical by construction:
+    same integer counts through the same float expressions)."""
+    w = Window.partitionBy("partition_id")
+    cells = cells.withColumn("tot1", F.sum("cnt1").over(w)).withColumn(
+        "tot2", F.sum("cnt2").over(w)
+    )
+    # Empty-side guard: a partition present in only one snapshot has tot=0 on
+    # the other side; define its proportions as 0 (-> every category drifts
+    # by its full mass, PSI large, verdict fails) instead of NULL-propagating.
+    p = _safe_frac("cnt1", "tot1") + F.lit(PSI_EPS)
+    q = _safe_frac("cnt2", "tot2") + F.lit(PSI_EPS)
+    term = (p - q) * F.log(p / q)
+    return cells.groupBy("partition_id").agg(
+        F.round(F.sum(term), 9).alias("psi"),
+        F.max("tot2").alias("n_rows"),
+    )
+
+
 def drift_psi(
     s1: DataFrame, s2: DataFrame, check: Check
 ) -> tuple[DataFrame, DataFrame]:
@@ -98,20 +118,7 @@ def drift_psi(
     cells = c1.join(c2, ["partition_id", "val"], "full_outer").fillna(
         0, subset=["cnt1", "cnt2"]
     )
-    w = Window.partitionBy("partition_id")
-    cells = cells.withColumn("tot1", F.sum("cnt1").over(w)).withColumn(
-        "tot2", F.sum("cnt2").over(w)
-    )
-    # Empty-side guard: a partition present in only one snapshot has tot=0 on
-    # the other side; define its proportions as 0 (-> every category drifts
-    # by its full mass, PSI large, verdict fails) instead of NULL-propagating.
-    p = _safe_frac("cnt1", "tot1") + F.lit(PSI_EPS)
-    q = _safe_frac("cnt2", "tot2") + F.lit(PSI_EPS)
-    term = (p - q) * F.log(p / q)
-    psi = cells.groupBy("partition_id").agg(
-        F.round(F.sum(term), 9).alias("psi"),
-        F.max("tot2").alias("n_rows"),
-    )
+    psi = _psi_from_cells(cells, check)
     verdicts = verdicts_from_partition_agg(psi, check, F.col("psi"))
     return verdicts, psi
 
@@ -191,6 +198,14 @@ def drift_ks(
     cells = e1.join(e2, ["partition_id", "bucket"], "full_outer").fillna(
         0, subset=["cnt1", "cnt2"]
     )
+    ks = _ks_from_cells(cells, check)
+    verdicts = verdicts_from_partition_agg(ks, check, F.col("ks"))
+    return verdicts, ks
+
+
+def _ks_from_cells(cells: DataFrame, check: Check) -> DataFrame:
+    """KS table from per-(partition, bucket) cnt1/cnt2 cells — the shared
+    math tail of drift_ks and compile_drift_pass."""
     wcum = (
         Window.partitionBy("partition_id")
         .orderBy("bucket")
@@ -205,12 +220,129 @@ def drift_ks(
     )
     # empty-side guard: ECDF of an empty side is 0 everywhere -> D = max F2
     d = F.abs(_safe_frac("cum1", "tot1") - _safe_frac("cum2", "tot2"))
-    ks = cells.groupBy("partition_id").agg(
+    return cells.groupBy("partition_id").agg(
         F.round(F.max(d), 9).alias("ks"),
         F.max("tot2").alias("n_rows"),
     )
-    verdicts = verdicts_from_partition_agg(ks, check, F.col("ks"))
-    return verdicts, ks
+
+
+def compile_drift_pass(
+    s1: DataFrame,
+    s2: DataFrame,
+    checks: list[Check],
+    pool: list | None = None,
+) -> DataFrame:
+    """Every drift check (PSI + KS) in ONE shared scan of each snapshot
+    (VERDICT r2 task 1: the per-check families cost 4 groupBy exchanges +
+    2 full-outer joins per snapshot pair — a large slice of the per-run
+    AQE job floor).
+
+    Plan: union the two snapshots with a side tag, compute ONE
+    ``groupBy(partition_id, dim_1, …, dim_k)`` counting rows per side
+    (map-side combined — the shuffle carries at most
+    Π|dims| × partitions rows, e.g. langs × length-buckets × partitions,
+    independent of input size), then derive each check's (partition, dim)
+    marginal from the tiny persisted cube and reuse the exact per-check
+    math (``_psi_from_cells`` / ``_ks_from_cells``) — verdicts are
+    bit-identical to the standalone functions because the same integer
+    marginals feed the same float expressions.
+
+    KS checks without pinned (lo, hi) derive edges in-plan from s1's
+    min/max, broadcast-cross-joined onto the union before bucketing.
+    """
+    cols = sorted({c.column for c in checks})
+    sides = [
+        df.select(
+            "partition_id", F.lit(tag).alias("_side"),
+            *[F.col(c) for c in cols],
+        )
+        for tag, df in ((1, s1), (2, s2))
+    ]
+    u = sides[0].unionByName(sides[1])
+
+    dims: list[tuple[str, Column]] = []
+    metas: list[tuple[Check, str]] = []  # (check, dim name)
+    for c in checks:
+        if c.kind == "drift_psi":
+            dim = f"val_{c.name}"
+            expr = F.coalesce(F.col(c.column).cast("string"), F.lit("<null>"))
+        elif c.kind == "drift_ks":
+            dim = f"bucket_{c.name}"
+            p = c.p
+            num_bins = int(p.get("num_bins", 64))
+            value = F.col(c.column)
+            if p.get("log_scale"):
+                value = F.log1p(value.cast("double"))
+            lo, hi = p.get("lo"), p.get("hi")
+            if lo is None or hi is None:
+                mm = F.broadcast(
+                    s1.agg(
+                        F.min(value).cast("double").alias(f"_lo_{c.name}"),
+                        F.max(value).cast("double").alias(f"_hi_{c.name}"),
+                    )
+                )
+                u = u.crossJoin(mm)
+                lo_c = (
+                    F.coalesce(F.col(f"_lo_{c.name}"), F.lit(0.0))
+                    if lo is None else F.lit(float(lo))
+                )
+                hi_raw = (
+                    F.coalesce(F.col(f"_hi_{c.name}"), F.lit(1.0))
+                    if hi is None else F.lit(float(hi))
+                )
+                hi_c = F.when(hi_raw <= lo_c, lo_c + F.lit(1.0)).otherwise(
+                    hi_raw
+                )
+            else:
+                lo_f, hi_f = float(lo), float(hi)
+                if hi_f <= lo_f:
+                    hi_f = lo_f + 1.0
+                lo_c, hi_c = F.lit(lo_f), F.lit(hi_f)
+            # NULL value -> NULL bucket (filtered out of this check's
+            # marginal below), matching binned_ecdf's isNotNull pre-filter.
+            # The when() mask is REQUIRED: Spark's least/greatest skip NULLs,
+            # so bucket_col alone would clamp a NULL value into bucket 0.
+            expr = F.when(
+                value.isNotNull(), bucket_col(value, lo_c, hi_c, num_bins)
+            )
+        else:  # pragma: no cover - plan.compile_plan routes only drift kinds
+            raise ValueError(f"not a drift check: {c.kind}")
+        dims.append((dim, expr))
+        metas.append((c, dim))
+
+    cube = u.groupBy(
+        "partition_id", *[e.alias(d) for d, e in dims]
+    ).agg(
+        F.count_if(F.col("_side") == 1).alias("cnt1"),
+        F.count_if(F.col("_side") == 2).alias("cnt2"),
+    ).coalesce(1)
+    # coalesce(1), not persist: SinglePartition satisfies every downstream
+    # clustering requirement, so the k marginal groupBys + ECDF windows +
+    # verdict aggs all plan WITHOUT exchanges (zero extra AQE stage jobs),
+    # and the one cube exchange below is canonically identical across the k
+    # verdict branches — AQE reuses it instead of recomputing the pair scan.
+    # (pool/persist would add table-cache stage jobs per consumer — measured
+    # net-negative on the job floor; the pool param stays for API symmetry.)
+
+    verdict_parts = []
+    for c, dim in metas:
+        marginal = cube
+        if c.kind == "drift_ks":
+            marginal = marginal.filter(F.col(dim).isNotNull())
+        cc = marginal.groupBy(
+            "partition_id", F.col(dim).alias("val" if c.kind == "drift_psi" else "bucket")
+        ).agg(F.sum("cnt1").alias("cnt1"), F.sum("cnt2").alias("cnt2"))
+        if c.kind == "drift_psi":
+            table = _psi_from_cells(cc, c)
+            metric = F.col("psi")
+        else:
+            table = _ks_from_cells(cc, c)
+            metric = F.col("ks")
+        verdict_parts.append(verdicts_from_partition_agg(table, c, metric))
+    out = verdict_parts[0]
+    for v in verdict_parts[1:]:
+        out = out.unionByName(v)
+    return out
 
 
 # --------------------------------------------------------------- histograms
@@ -301,31 +433,46 @@ def hist2d_outlier_check(
     # bucket to 0, polluting the first cell) — RAQC likewise masks NaN
     # before histogramming. Verdict n_rows counts the histogrammed rows.
     df = df.filter(F.col("content_length").isNotNull())
-    cells = df.groupBy(
-        lang_idx.alias("lang_cell"), bucket.alias("len_bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    # lazy grand total: single-partition window over the tiny cells table
-    # (bounded by langs × num_bins rows — never the input size)
+
+    # ONE scan -> per-PARTITION cell counts (≤ partitions × langs × bins
+    # rows), coalesced to a single partition so every downstream window /
+    # marginal / verdict agg plans WITHOUT further exchanges (VERDICT r2
+    # task 1). Persisted: the violations sink (action 1) derives the rare
+    # set from it and the verdict agg (action 2) re-reads a few cached KB
+    # instead of re-scanning + re-joining the full table.
+    cells3 = (
+        df.groupBy(
+            F.col("partition_id"),
+            lang_idx.alias("lang_cell"),
+            bucket.alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .coalesce(1)
+    )
+    if pool is not None:
+        cells3 = cells3.persist()
+        pool.append(cells3)
+
+    # Global smoothed score per cell via a RANGE window over len_bucket: the
+    # frame spans ALL partitions' rows of the ±1 neighbor buckets, so the sum
+    # equals the smoothed global 2D-histogram count (bit-identical to the
+    # round-2 global-cells formulation). smooth=False -> raw global cell cnt.
     w_tot = Window.partitionBy(F.lit(1))
     sm = (
         Window.partitionBy("lang_cell")
         .orderBy("len_bucket")
         .rangeBetween(-1, 1)
     )
-    score = F.sum("cnt").over(sm) if smooth else F.col("cnt")
-    rare = (
-        cells.withColumn("score", score)
-        .withColumn("total", F.sum("cnt").over(w_tot))
-        .filter((F.col("score") / F.col("total")) < F.lit(min_frac))
-        .select("lang_cell", "len_bucket")
-    )
-    if pool is not None:
-        # tiny (≤ langs × bins rows) but derived from a full-table agg:
-        # persist so the violations sink and verdict agg (separate actions
-        # in run-granularity mode) build the histogram once
-        rare = rare.persist()
-        pool.append(rare)
+    w_cell = Window.partitionBy("lang_cell", "len_bucket")
+    score = F.sum("cnt").over(sm) if smooth else F.sum("cnt").over(w_cell)
+    is_rare = (score / F.sum("cnt").over(w_tot)) < F.lit(min_frac)
+    scored = cells3.withColumn("_rare", is_rare)
 
+    rare = (
+        scored.filter(F.col("_rare"))
+        .select("lang_cell", "len_bucket")
+        .distinct()
+    )
     tagged = df.withColumn("lang_cell", lang_idx).withColumn(
         "len_bucket", bucket
     )
@@ -344,14 +491,12 @@ def hist2d_outlier_check(
         "content_sha",
     ).select(*VIOLATION_COLS)
 
-    marked = rare.withColumn("_rare", F.lit(1))
-    agg = (
-        tagged.join(F.broadcast(marked), ["lang_cell", "len_bucket"], "left")
-        .groupBy("partition_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_if(F.col("_rare").isNotNull()).alias("n_viol"),
-        )
+    # verdicts entirely from the tiny scored cells — no row-level join
+    agg = scored.groupBy("partition_id").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("_rare"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_viol"
+        ),
     )
     verdicts = verdicts_from_partition_agg(
         agg, check, F.col("n_viol") / F.col("n_rows"), F.col("n_viol")

@@ -166,8 +166,19 @@ def compile_stats_pass(
     stats = [c for c in checks if c.kind in STATS_KINDS]
     if not stats:
         raise ValueError("no stats-family checks in contract")
+    # approx_distinct method="salted": two-phase Datasketches HLL spread over
+    # salt buckets (checks/sketches.py) — the explicit hot-key path for
+    # skewed mega-repos. It needs its own two-stage groupBy, so it can't
+    # ride the fused single-agg pass; its verdicts join back on the fused
+    # pass's per-partition n_rows (VERDICT r2 task 8: previously the salted
+    # path was a helper no contract could reach).
+    salted = [
+        c for c in stats
+        if c.kind == "approx_distinct" and c.p.get("method") == "salted"
+    ]
+    fused = [c for c in stats if c not in salted]
     exprs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in stats:
+    for c in fused:
         exprs.extend(_agg_exprs(c))
     agg = df.groupBy("partition_id").agg(*exprs)
 
@@ -175,7 +186,7 @@ def compile_stats_pass(
     # inline(array(struct...)) — a single projection, so the scan+shuffle run
     # exactly once no matter how many checks the contract carries.
     structs = []
-    for c in stats:
+    for c in fused:
         metric = F.round(_metric(c).cast("double"), 9)
         nv = (
             F.col(f"v_{c.name}") if c.kind in PREDICATE_KINDS else F.lit(0)
@@ -189,32 +200,70 @@ def compile_stats_pass(
                 nv.alias("n_violations"),
             )
         )
-    verdicts = agg.select(
-        F.col("partition_id").cast("int").alias("partition_id"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.inline(F.array(*structs)),
-    ).select(
-        "partition_id", "check_name", "pass", "metric_value", "threshold",
-        "n_rows", "n_violations",
-    )
+    verdicts = None
+    if structs:
+        verdicts = agg.select(
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.inline(F.array(*structs)),
+        ).select(
+            "partition_id", "check_name", "pass", "metric_value", "threshold",
+            "n_rows", "n_violations",
+        )
+    if salted:
+        from raqc_spark.checks.blocks import verdicts_from_partition_agg
+        from raqc_spark.checks.sketches import salted_approx_distinct
 
+        nrows_pp = agg.select("partition_id", "n_rows")
+        for c in salted:
+            sad = salted_approx_distinct(
+                df, "partition_id", c.column,
+                salt_buckets=int(c.p.get("salt_buckets", 16)),
+                salt_on=c.p.get("salt_on"),
+            )
+            tbl = sad.join(nrows_pp, "partition_id")
+            v = verdicts_from_partition_agg(tbl, c, F.col("approx_distinct"))
+            verdicts = v if verdicts is None else verdicts.unionByName(v)
+
+    # Violations for ALL predicate checks in ONE scan (VERDICT r2 task 1:
+    # the per-check union ran one filter branch — one AQE stage job — per
+    # check): build a per-row array of matched-check structs, drop the
+    # unmatched (NULL) slots, and explode. Rows violating nothing produce an
+    # empty array and vanish in the explode; the row is read once no matter
+    # how many predicate checks the contract carries.
     violations = None
     pred_checks = [c for c in stats if c.kind in PREDICATE_KINDS]
-    for c in pred_checks:
-        rows = df.filter(violation_predicate(c)).select(
+    if pred_checks:
+        slots = [
+            F.when(
+                violation_predicate(c),
+                F.struct(
+                    F.lit(c.name).alias("check_name"),
+                    F.format_string(
+                        "%s: %s violates %s",
+                        F.lit(c.column), F.col(check_detail(c)), F.lit(c.kind),
+                    ).alias("violation_detail"),
+                ),
+            )
+            for c in pred_checks
+        ]
+        matched = F.filter(F.array(*slots), lambda x: x.isNotNull())
+        violations = df.select(
             F.col("partition_id").cast("int").alias("partition_id"),
-            F.lit(c.name).alias("check_name"),
             F.col("repo"),
             F.col("path"),
             F.col("commit"),
-            F.format_string(
-                "%s: %s violates %s", F.lit(c.column), F.col(check_detail(c)), F.lit(c.kind)
-            ).alias("violation_detail"),
             F.col("content_sha"),
-        )
-        violations = rows if violations is None else violations.unionByName(rows)
-    if violations is not None:
-        violations = violations.select(*VIOLATION_COLS)
+            F.explode(matched).alias("_v"),
+        ).select(
+            "partition_id",
+            F.col("_v.check_name").alias("check_name"),
+            "repo",
+            "path",
+            "commit",
+            F.col("_v.violation_detail").alias("violation_detail"),
+            "content_sha",
+        ).select(*VIOLATION_COLS)
     return verdicts, violations
 
 

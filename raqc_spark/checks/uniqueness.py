@@ -28,17 +28,32 @@ from raqc_spark.results import VIOLATION_COLS
 
 
 def uniqueness_check(
-    df: DataFrame, check: Check, pool: list | None = None
+    df: DataFrame,
+    check: Check,
+    pool: list | None = None,
+    partition_spec=None,
 ) -> tuple[DataFrame, DataFrame]:
     """``pool``: optional persist pool (runner-owned). The dup-key table is
     tiny (bounded by violations) but expensive to derive (full-table
     groupBy); persisting it means the violations sink and the verdict
     aggregation — separate Spark actions in run-granularity mode — derive it
-    once instead of twice."""
+    once instead of twice.
+
+    ``partition_spec``: when given AND the check keys include the partition
+    key, per-partition violation counts derive straight from the persisted
+    dup-key table (each dup group lives in exactly one partition, and its
+    retained group ``count`` IS its violation-row count) — the verdict
+    action re-reads a few cached kilobytes instead of re-running the
+    broadcast semi-join over the full table (VERDICT r2 task 1)."""
     keys = list(check.p.get("keys", ("repo", "path", "commit")))
     max_dup_keys = int(check.p.get("max_dup_keys", 2_000_000))
 
-    dup_keys = df.groupBy(*keys).count().filter(F.col("count") > 1).select(*keys)
+    # coalesce(1): the dup-key table is tiny (bounded by violations), and a
+    # single partition satisfies the guard window's SinglePartition
+    # requirement without another exchange (one fewer AQE stage job)
+    dup_keys = (
+        df.groupBy(*keys).count().filter(F.col("count") > 1).coalesce(1)
+    )
     # Broadcast budget guard (ADVICE r2): a pathological keys config can make
     # a large share of the table "duplicates"; the explicit broadcast below
     # would then OOM the driver deep into the run. Enforce the budget IN-PLAN
@@ -59,13 +74,13 @@ def uniqueness_check(
     dup_keys = (
         dup_keys.withColumn("_n_dup_keys", n_dup)
         .filter(guard.isNull())
-        .select(*keys)
+        .select(*keys, "count")
     )
     if pool is not None:
         dup_keys = dup_keys.persist()
         pool.append(dup_keys)
 
-    dup_rows = df.join(F.broadcast(dup_keys), keys, "left_semi")
+    dup_rows = df.join(F.broadcast(dup_keys.select(*keys)), keys, "left_semi")
     w = Window.partitionBy(*keys).orderBy(F.col("content_sha"), F.col("lang"))
     violations = (
         dup_rows.withColumn("dup_rank", F.row_number().over(w))
@@ -89,9 +104,20 @@ def uniqueness_check(
     n_rows_pp = df.groupBy("partition_id").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    n_viol_pp = dup_rows.groupBy("partition_id").agg(
-        F.count(F.lit(1)).alias("n_viol")
-    )
+    if partition_spec is not None and partition_spec.key in keys:
+        # every dup group lives in one partition (keys ⊇ partition key), so
+        # n_viol per partition = Σ group counts — derived from the tiny
+        # (persisted) dup-key table, already single-partition after the
+        # guard window: no exchange, no second pass over the fact table
+        from raqc_spark.functions.hashing import partition_id_col
+
+        n_viol_pp = dup_keys.groupBy(
+            partition_id_col(partition_spec).alias("partition_id")
+        ).agg(F.sum("count").alias("n_viol"))
+    else:
+        n_viol_pp = dup_rows.groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("n_viol")
+        )
     agg = n_rows_pp.join(n_viol_pp, "partition_id", "left").fillna(
         0, subset=["n_viol"]
     )

@@ -88,9 +88,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     Jaccard (rows-only: xxhash64-based signatures have no DuckDB twin)."""
     d = load_table(spark, sf_dir, "documents")
     tok = doc_shingles(d, "doc_id", n=3)
-    # signatures feed three consumers (banding + both estimate sides):
-    # persist the tiny (docs × 64 longs) table instead of recomputing
-    sig = minhash_signatures(tok, num_hashes=64).persist()
+    # signatures feed three consumers (banding + both estimate sides); all
+    # three sit above the same signature-agg exchange, which AQE plans once
+    # and reuses — measured FASTER than persist() (which added table-cache
+    # materialization and, worse, leaked cached partitions because a query
+    # function has no unpersist hook; VERDICT r2 task 7)
+    sig = minhash_signatures(tok, num_hashes=64)
     pairs = lsh_candidate_pairs(sig, num_hashes=64, bands=16)
     return minhash_jaccard_estimate(sig, pairs, num_hashes=64).filter(
         F.col("est_jaccard") >= 0.5

@@ -154,3 +154,30 @@ def test_no_driver_collect_in_checks_package():
     pkg = pathlib.Path(__file__).parent.parent / "raqc_spark" / "checks"
     for f in pkg.glob("*.py"):
         assert ".collect(" not in f.read_text(), f"driver collect in {f}"
+
+
+def test_compile_drift_pass_matches_standalone_checks(spark, snapshots):
+    """The merged one-cube drift family (VERDICT r2 task 1) must produce
+    bit-identical verdicts to the standalone drift_psi/drift_ks checks —
+    same integer marginals through the same float tails."""
+    from raqc_spark.checks.drift import compile_drift_pass
+
+    s1, s2, _ = snapshots
+    d1 = prepare(s1, default_contract())
+    d2 = prepare(s2, default_contract())
+    psi_chk = Check("psi_lang", "drift_psi", column="lang",
+                    threshold=Threshold("le", 0.2))
+    ks_chk = Check("ks_len", "drift_ks", column="content_length",
+                   threshold=Threshold("le", 0.15),
+                   params=(("num_bins", 64), ("lo", 0.0), ("hi", 14.0),
+                           ("log_scale", True)))
+    ks_dyn = Check("ks_len_dyn", "drift_ks", column="content_length",
+                   threshold=Threshold("le", 0.15),
+                   params=(("num_bins", 32), ("log_scale", True)))
+    merged = compile_drift_pass(d1, d2, [psi_chk, ks_chk, ks_dyn]).collect()
+    standalone = (
+        drift_psi(d1, d2, psi_chk)[0].collect()
+        + drift_ks(d1, d2, ks_chk)[0].collect()
+        + drift_ks(d1, d2, ks_dyn)[0].collect()
+    )
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, standalone))

@@ -210,9 +210,12 @@ def test_ivf_single_scoring_pass(spark):
     the second consumer is a ReusedExchange — asserted on the FINAL adaptive
     plan (the initial plan always shows both subtrees). Uses an UNCACHED
     scan: per-branch table-cache query stages canonicalize differently and
-    mask the reuse, so the persisted test fixture can't exercise this."""
+    mask the reuse, so the persisted test fixture can't exercise this (the
+    CacheManager substitutes ANY matching cached subtree, so the module
+    fixture's persisted scan of the same path must be dropped first)."""
     from raqc_spark.functions.simsearch import ivf_cosine_topk
 
+    spark.catalog.clearCache()
     emb = spark.read.parquet(EMB)
     q = ivf_cosine_topk(emb, k=3, num_centroids=8, nprobe=4)
     q.collect()
@@ -223,3 +226,17 @@ def test_ivf_single_scoring_pass(spark):
     # corpus-assignment branch
     assert final.count("BroadcastNestedLoopJoin") == 1, final
     assert "ReusedExchange" in final and "hashpartitioning(doc" in final
+
+
+def test_no_cache_leak_after_query_sweep(spark):
+    """VERDICT r2 task 7 'Done' criterion: a full queries() sweep leaves no
+    persisted partitions behind (query functions must not persist without an
+    unpersist hook; run_contract pool-manages and unpersists its own)."""
+    import __spark_entry__ as entry_mod
+
+    spark.catalog.clearCache()
+    sf = "/root/testdata/sf0.001"
+    for name, fn in entry_mod.queries().items():
+        fn(spark, sf).count()
+    leaked = spark.sparkContext._jsc.getPersistentRDDs()
+    assert leaked.size() == 0, f"{leaked.size()} cached RDDs leaked"
