@@ -128,6 +128,22 @@ def main() -> None:
     rows = pairs[0]["n"]["rows"]
     # least-interfered pair = the one with the fastest combined wall
     best = min(pairs, key=lambda p: p["n"]["wall"] + p["n4"]["wall"])
+    # median-of-quiet-pairs (VERDICT r2 task 4): the best-pair convention is
+    # defensible but selection-dependent; the median over idle-gated pairs is
+    # the robust headline. Falls back to all pairs if none were quiet.
+    quiet_pairs = [p for p in pairs if p.get("quiet")] or pairs
+    effs = sorted(p["eff"] for p in quiet_pairs)
+    mid = len(effs) // 2
+    median_eff = (
+        effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2
+    )
+    med_pair = min(quiet_pairs, key=lambda p: abs(p["eff"] - median_eff))
+    # two-point Amdahl decomposition T_N = f + s/N from the median pair:
+    # s = (T_N − T_4N) / (1/N − 1/4N) core-sec; f = T_4N − s/4N (the
+    # non-scaling floor no parallelism removes)
+    mp_n, mp_4n = med_pair["n"]["wall"], med_pair["n4"]["wall"]
+    s_core = (mp_n - mp_4n) / (1.0 / N_CORES - 1.0 / N4_CORES)
+    floor = mp_4n - s_core / N4_CORES
     result = {
         "metric": f"throughput scaling efficiency local[{N_CORES}] -> "
                   f"local[{N4_CORES}] (N -> 4N cores)",
@@ -136,6 +152,10 @@ def main() -> None:
         "pairs": pairs,
         "best_pair": best,
         "efficiency": best["eff"],
+        "median_quiet_efficiency": round(median_eff, 3),
+        "n_quiet_pairs": len(quiet_pairs),
+        "floor_sec": round(floor, 2),
+        "scalable_core_sec": round(s_core, 1),
         "t_n_sec": best["n"]["wall"],
         "t_4n_sec": best["n4"]["wall"],
         "rows_per_sec_n": round(rows / best["n"]["wall"], 1),
@@ -150,13 +170,14 @@ def main() -> None:
         for i, p in enumerate(pairs)
     )
     b = best
-    md = f"""# BENCH/BASELINE.md — measured results (round 2)
+    md = f"""# BENCH/BASELINE.md — measured results (round 3)
 
 ## Scaling evidence: local[{N_CORES}] -> local[{N4_CORES}] (N -> 4N cores)
 
 Same job — the full default contract (fused stats pass + uniqueness +
-referential integrity + hist2d outlier + PSI/KS drift + verdict/violation
-sinks, granularity='run': two actions total) — on the same input
+referential integrity + cube-based hist2d outlier + the merged one-cube
+PSI/KS drift family + verdict/violation sinks, granularity='run': two
+actions, 26 Spark jobs total per run) — on the same input
 ({rows:,} rows, {SCALING_FILES:,}-file synthesized code-table fixture,
 seed 42), interleaved (local[{N_CORES}], local[{N4_CORES}]) subprocess pairs behind an
 idle-window gate, one warm-up (120k fixture) + ONE timed run per fresh JVM.
@@ -165,10 +186,18 @@ idle-window gate, one warm-up (120k fixture) + ONE timed run per fresh JVM.
 | --- | --- | --- | --- | --- |
 {rows_tbl}
 
-**Reported (least-interfered pair, fastest combined wall):
+**HEADLINE (median of {len(quiet_pairs)} idle-gated pairs, VERDICT r2
+task 4 robustness criterion): efficiency = {median_eff:.3f}** (target >=
+0.8). Least-interfered pair (fastest combined wall, the round-2
+convention, kept for comparability):
 T_{N_CORES} = {b['n']['wall']:.2f}s ({rows / b['n']['wall']:,.0f} rows/s),
 T_{N4_CORES} = {b['n4']['wall']:.2f}s ({rows / b['n4']['wall']:,.0f} rows/s),
-efficiency = (T_{N_CORES} / T_{N4_CORES}) / 4 = {b['eff']:.3f}** (target >= 0.8).
+efficiency = (T_{N_CORES} / T_{N4_CORES}) / 4 = {b['eff']:.3f}.
+
+Two-point Amdahl decomposition of the median pair (T_N = f + s/N):
+**non-scaling floor f = {floor:.1f}s** (round-2 measured ~16s; the
+38 -> 26 job-floor cut in round 3 targets exactly this term),
+scalable work s = {s_core:.0f} core-sec.
 
 ## Why 2 -> 8 cores and not 8 -> 32 (measured round 1)
 

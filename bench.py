@@ -51,6 +51,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "simsearch_cosine_topk",
+    "simsearch_ivf",
+    "text_bpe_tokens",
     "text_quality",
     "doc_fingerprint",
 ]
@@ -117,7 +119,12 @@ def wait_for_quiet(
     return False
 
 
-def run_contract_once(spark, fixture_root: str) -> tuple[int, float]:
+def run_contract_once(
+    spark,
+    fixture_root: str,
+    granularity: str = "run",
+    partition_batches: int = 1,
+) -> tuple[int, float]:
     from raqc_spark.contract import default_contract
     from raqc_spark.runner import run_contract
 
@@ -129,7 +136,8 @@ def run_contract_once(spark, fixture_root: str) -> tuple[int, float]:
     t0 = time.perf_counter()
     res = run_contract(
         spark, default_contract(), s2, s1=s1, commits_dim=commits,
-        run_dir=run_dir, resume=False, granularity="run",
+        run_dir=run_dir, resume=False, granularity=granularity,
+        partition_batches=partition_batches,
     )
     res.verdicts.collect()
     wall = time.perf_counter() - t0
@@ -186,6 +194,14 @@ def main() -> None:
     # possible) an idle window
     quiet = wait_for_quiet()
     contract = run_contract_bench(spark, fixture_root, runs=CONTRACT_RUNS)
+
+    # checkpoint-granular mode (VERDICT r2 task 9): family granularity at
+    # partition_batches=4 — the bounded-blast-radius production mode; its
+    # overhead vs the two-action run mode is a tracked regression surface
+    _, batched_wall = run_contract_once(
+        spark, fixture_root, granularity="family", partition_batches=4
+    )
+    contract["contract_batched4_wall_sec"] = round(batched_wall, 3)
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -103,11 +103,13 @@ def _agg_exprs(check: Check) -> list[Column]:
         # shuffle O(bins) longs, stay in whole-stage codegen, and merge
         # exactly across partitions/checkpoints. Quantiles resolve to bin
         # UPPER edges (error = one bin width; log-space by default for
-        # heavy-tailed lengths).
-        num_bins, lo, hi, log_scale, _ = _quantile_conf(check)
-        value = col.cast("double")
-        if log_scale:
-            value = F.log1p(value)
+        # heavy-tailed lengths). The (possibly log-scaled) value is read
+        # from the `_lqv_<name>` column compile_stats_pass projects below
+        # the agg — aggregate codegen does NOT common-subexpression-
+        # eliminate across buffers, so an inline log1p would be evaluated
+        # once PER EDGE per row (128×).
+        num_bins, lo, hi, _log_scale, _ = _quantile_conf(check)
+        value = F.col(f"_lqv_{n}")
         return [F.count(col).alias(f"nn_{n}")] + [
             F.count_if(value <= F.lit(e)).alias(f"ble_{n}_{i}")
             for i, e in enumerate(_quantile_edges(num_bins, lo, hi))
@@ -177,10 +179,20 @@ def compile_stats_pass(
         if c.kind == "approx_distinct" and c.p.get("method") == "salted"
     ]
     fused = [c for c in stats if c not in salted]
+    # pre-project each binned-quantile check's (log-scaled) value once —
+    # see the per-edge CSE note in _agg_exprs
+    agg_in = df
+    for c in fused:
+        if c.kind == "length_quantiles" and c.p.get("method", "bins") == "bins":
+            _nb, _lo, _hi, log_scale, _ = _quantile_conf(c)
+            v = F.col(c.column).cast("double")
+            agg_in = agg_in.withColumn(
+                f"_lqv_{c.name}", F.log1p(v) if log_scale else v
+            )
     exprs = [F.count(F.lit(1)).alias("n_rows")]
     for c in fused:
         exprs.extend(_agg_exprs(c))
-    agg = df.groupBy("partition_id").agg(*exprs)
+    agg = agg_in.groupBy("partition_id").agg(*exprs)
 
     # Unpivot every check's verdict out of the ONE agg row per partition via
     # inline(array(struct...)) — a single projection, so the scan+shuffle run

@@ -48,12 +48,15 @@ def uniqueness_check(
     keys = list(check.p.get("keys", ("repo", "path", "commit")))
     max_dup_keys = int(check.p.get("max_dup_keys", 2_000_000))
 
-    # coalesce(1): the dup-key table is tiny (bounded by violations), and a
-    # single partition satisfies the guard window's SinglePartition
-    # requirement without another exchange (one fewer AQE stage job)
-    dup_keys = (
-        df.groupBy(*keys).count().filter(F.col("count") > 1).coalesce(1)
-    )
+    # NO coalesce(1) here, despite the tiny post-filter output: coalesce has
+    # no stage boundary, so it would pull the FINAL aggregation of this
+    # high-cardinality groupBy into a single task — partial aggs don't
+    # collapse near-unique keys, and one task would merge the whole table
+    # (measured: local[8] contract wall 54s -> 75s at 10.6M rows). The
+    # guard window below pays one tiny exchange instead — only dup keys
+    # move. (The drift/hist cubes DO coalesce(1) safely: their partial aggs
+    # bound per-task output to the cell-cube size.)
+    dup_keys = df.groupBy(*keys).count().filter(F.col("count") > 1)
     # Broadcast budget guard (ADVICE r2): a pathological keys config can make
     # a large share of the table "duplicates"; the explicit broadcast below
     # would then OOM the driver deep into the run. Enforce the budget IN-PLAN
