@@ -13,6 +13,15 @@ percentile_approx (measured to dominate the contract at 10M rows: its
 object-agg QuantileSummaries.compress burned ~90% of executor CPU).
 Row-level violations exist only for the predicate checks (null/empty/bounds);
 quantile/distinct checks are stats-only, like RAQC's basin stats report.
+
+Expression construction is SQL-TEXT based (pure Python string building, one
+``F.expr``/``selectExpr`` round-trip per output column). The previous
+Column-composition implementation issued ~12k py4j socket round-trips per
+contract build (128 binned-edge ``count_if`` Columns × ~4 JVM calls each,
+measured 9s of an 11s warm build on this host) — pure non-scaling driver
+floor. SQL text moves that work into ONE Catalyst parse per expression;
+the per-edge counts additionally pack into a single ``array(count_if...)``
+aggregate so the agg schema carries one array column per quantile check.
 """
 
 from __future__ import annotations
@@ -20,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from raqc_spark.checks.blocks import threshold_pass_col, verdicts_from_partition_agg
 from raqc_spark.contract import Check
 from raqc_spark.results import VIOLATION_COLS
 
@@ -30,33 +38,44 @@ PREDICATE_KINDS = {"null_rate", "empty_content", "bounds"}
 STATS_KINDS = PREDICATE_KINDS | {"col_stats", "length_quantiles", "approx_distinct"}
 
 
-def violation_predicate(check: Check) -> Column:
-    """Row-level violation predicate for predicate-family checks.
+def _d(x: float) -> str:
+    """Double literal in SQL text. Bare fractional literals parse as DECIMAL
+    in Spark SQL; the D suffix keeps the type identical to ``F.lit(float)``
+    (shortest-repr round-trips the exact double)."""
+    return f"{float(x)!r}D"
+
+
+def violation_predicate_sql(check: Check) -> str:
+    """Row-level violation predicate (SQL text) for predicate-family checks.
 
     Checks on ``content`` read the derived ``content_length`` instead — the
     raw column is dropped right after derivation (functions.with_derived),
     and NULL/empty are recoverable from the length.
     """
     if check.column == "content":
-        length = F.col("content_length")
         if check.kind == "null_rate":
-            return length.isNull()
+            return "content_length IS NULL"
         if check.kind == "empty_content":
-            return length.isNotNull() & (length == 0)
-    col = F.col(check.column)
+            return "content_length IS NOT NULL AND content_length = 0"
+    c = check.column
     if check.kind == "null_rate":
-        return col.isNull()
+        return f"{c} IS NULL"
     if check.kind == "empty_content":
-        return col.isNotNull() & (F.length(col) == 0)
+        return f"{c} IS NOT NULL AND length({c}) = 0"
     if check.kind == "bounds":
         lo, hi = check.p.get("lo"), check.p.get("hi")
-        pred = F.lit(False)
+        parts = []
         if lo is not None:
-            pred = pred | (col < F.lit(lo))
+            parts.append(f"{c} < {lo!r}")
         if hi is not None:
-            pred = pred | (col > F.lit(hi))
-        return col.isNotNull() & pred
+            parts.append(f"{c} > {hi!r}")
+        pred = " OR ".join(parts) if parts else "false"
+        return f"{c} IS NOT NULL AND ({pred})"
     raise ValueError(f"{check.kind} has no row-level predicate")
+
+
+def violation_predicate(check: Check) -> Column:
+    return F.expr(violation_predicate_sql(check))
 
 
 def _quantile_conf(check: Check) -> tuple[int, float, float, bool, list[float]]:
@@ -75,88 +94,103 @@ def _quantile_edges(num_bins: int, lo: float, hi: float) -> list[float]:
     return [lo + width * (i + 1) for i in range(num_bins)]
 
 
-def _agg_exprs(check: Check) -> list[Column]:
+def _agg_sql(check: Check) -> list[str]:
+    """Aggregate expressions (SQL text) contributed to the shared agg."""
     n = check.name
     if check.kind in PREDICATE_KINDS:
-        return [F.count_if(violation_predicate(check)).alias(f"v_{n}")]
-    col = F.col(check.column)
+        return [f"count_if({violation_predicate_sql(check)}) AS v_{n}"]
+    c = check.column
     if check.kind == "col_stats":
         return [
-            F.min(col).alias(f"min_{n}"),
-            F.max(col).alias(f"max_{n}"),
-            F.avg(col).alias(f"mean_{n}"),
-            F.stddev_samp(col).alias(f"std_{n}"),
+            f"min({c}) AS min_{n}",
+            f"max({c}) AS max_{n}",
+            f"avg({c}) AS mean_{n}",
+            f"stddev_samp({c}) AS std_{n}",
         ]
     if check.kind == "length_quantiles":
         if check.p.get("method", "bins") == "approx":
-            qs = list(check.p.get("qs", (0.5, 0.95, 0.99)))
+            qs = ", ".join(_d(q) for q in check.p.get("qs", (0.5, 0.95, 0.99)))
             return [
-                F.percentile_approx(
-                    col, qs, APPROX_PERCENTILE_ACCURACY
-                ).alias(f"q_{n}")
+                f"percentile_approx({c}, array({qs}),"
+                f" {APPROX_PERCENTILE_ACCURACY}) AS q_{n}"
             ]
-        # Default: binned cumulative counts — one count_if per edge inside
-        # the SAME fused codegen hash agg. percentile_approx is a
-        # TypedImperativeAggregate whose QuantileSummaries.compress was
-        # measured (jstack, 10.6M-row run) to dominate the entire contract
-        # and degrade superlinearly with task concurrency; the bin counts
-        # shuffle O(bins) longs, stay in whole-stage codegen, and merge
-        # exactly across partitions/checkpoints. Quantiles resolve to bin
-        # UPPER edges (error = one bin width; log-space by default for
-        # heavy-tailed lengths). The (possibly log-scaled) value is read
-        # from the `_lqv_<name>` column compile_stats_pass projects below
-        # the agg — aggregate codegen does NOT common-subexpression-
-        # eliminate across buffers, so an inline log1p would be evaluated
-        # once PER EDGE per row (128×).
+        # Default: binned cumulative counts — one count_if per edge, packed
+        # into ONE array aggregate inside the SAME fused codegen hash agg.
+        # percentile_approx is a TypedImperativeAggregate whose
+        # QuantileSummaries.compress was measured (jstack, 10.6M-row run) to
+        # dominate the entire contract and degrade superlinearly with task
+        # concurrency; the bin counts shuffle O(bins) longs, stay in
+        # whole-stage codegen, and merge exactly across partitions/
+        # checkpoints. Quantiles resolve to bin UPPER edges (error = one bin
+        # width; log-space by default for heavy-tailed lengths). The
+        # (possibly log-scaled) value is read from the `_lqv_<name>` column
+        # compile_stats_pass projects below the agg — aggregate codegen does
+        # NOT common-subexpression-eliminate across buffers, so an inline
+        # log1p would be evaluated once PER EDGE per row (128×).
         num_bins, lo, hi, _log_scale, _ = _quantile_conf(check)
-        value = F.col(f"_lqv_{n}")
-        return [F.count(col).alias(f"nn_{n}")] + [
-            F.count_if(value <= F.lit(e)).alias(f"ble_{n}_{i}")
-            for i, e in enumerate(_quantile_edges(num_bins, lo, hi))
-        ]
+        counts = ", ".join(
+            f"count_if(_lqv_{n} <= {_d(e)})"
+            for e in _quantile_edges(num_bins, lo, hi)
+        )
+        return [f"count({c}) AS nn_{n}", f"array({counts}) AS ble_{n}"]
     if check.kind == "approx_distinct":
-        return [F.approx_count_distinct(col).alias(f"d_{n}")]
+        return [f"approx_count_distinct({c}) AS d_{n}"]
     raise ValueError(f"unsupported stats kind {check.kind}")
 
 
-def _bin_quantile(check: Check, q: float) -> Column:
+def _bin_quantile_sql(check: Check, q: float) -> str:
     """Quantile from binned cumulative counts: the first edge whose
     cumulative count reaches q·n (clamped to the top edge for values
     beyond hi — with log bins hi is pinned above any legal length)."""
     n = check.name
     num_bins, lo, hi, log_scale, _ = _quantile_conf(check)
-    edges = _quantile_edges(num_bins, lo, hi)
-    cnts = F.array(*[F.col(f"ble_{n}_{i}") for i in range(num_bins)])
-    target = F.lit(q) * F.col(f"nn_{n}")
-    idx = F.size(F.filter(cnts, lambda c: c < target))  # edges below target
-    edge = F.element_at(
-        F.array(*[F.lit(e) for e in edges]),
-        F.least(idx + F.lit(1), F.lit(num_bins)),
-    )
-    out = F.expm1(edge) if log_scale else edge
+    edges = ", ".join(_d(e) for e in _quantile_edges(num_bins, lo, hi))
+    # edges below target -> index of the answering edge (1-based element_at)
+    idx = f"size(filter(ble_{n}, c -> c < {_d(q)} * nn_{n}))"
+    edge = f"element_at(array({edges}), least({idx} + 1, {num_bins}))"
+    out = f"expm1({edge})" if log_scale else edge
     # zero non-null values: no count is < 0 -> idx=0 would fabricate the
     # first bin edge as a quantile; return NULL like percentile_approx does
-    return F.when(F.col(f"nn_{n}") == 0, F.lit(None).cast("double")).otherwise(
-        out
-    )
+    return f"CASE WHEN nn_{n} = 0 THEN CAST(NULL AS double) ELSE {out} END"
 
 
-def _metric(check: Check) -> Column:
+def _metric_sql(check: Check) -> str:
     n = check.name
     if check.kind in PREDICATE_KINDS:
         # exact integer counts → deterministic rate (SURVEY.md §7.3.2)
-        return F.col(f"v_{n}") / F.col("n_rows")
+        return f"v_{n} / n_rows"
     if check.kind == "col_stats":
-        return F.col(f"mean_{n}")
+        return f"mean_{n}"
     if check.kind == "length_quantiles":
         # verdict on the top quantile
         if check.p.get("method", "bins") == "approx":
-            return F.element_at(F.col(f"q_{n}"), -1)
+            return f"element_at(q_{n}, -1)"
         qs = _quantile_conf(check)[4]
-        return _bin_quantile(check, qs[-1])
+        return _bin_quantile_sql(check, qs[-1])
     if check.kind == "approx_distinct":
-        return F.col(f"d_{n}")
+        return f"d_{n}"
     raise ValueError(check.kind)
+
+
+def _verdict_struct_sql(check: Check) -> str:
+    """One named_struct(...) verdict slot for the inline-unpivot projection.
+
+    The metric text appears twice (pass predicate + value) — Catalyst
+    subexpression elimination collapses the duplicates, and the projection
+    runs over one row per partition anyway. NULL metric → pass=false,
+    matching Threshold semantics.
+    """
+    metric = f"round(CAST(({_metric_sql(check)}) AS double), 9)"
+    thr = float(check.threshold.value)
+    nv = f"v_{check.name}" if check.kind in PREDICATE_KINDS else "0"
+    return (
+        "named_struct("
+        f"'check_name', '{check.name}', "
+        f"'pass', coalesce({check.threshold.sql(metric)}, false), "
+        f"'metric_value', {metric}, "
+        f"'threshold', CAST({thr!r} AS double), "
+        f"'n_violations', CAST({nv} AS bigint))"
+    )
 
 
 def compile_stats_pass(
@@ -180,44 +214,31 @@ def compile_stats_pass(
     ]
     fused = [c for c in stats if c not in salted]
     # pre-project each binned-quantile check's (log-scaled) value once —
-    # see the per-edge CSE note in _agg_exprs
-    agg_in = df
+    # see the per-edge CSE note in _agg_sql
+    lqv = [
+        f"log1p(CAST({c.column} AS double)) AS _lqv_{c.name}"
+        if _quantile_conf(c)[3]
+        else f"CAST({c.column} AS double) AS _lqv_{c.name}"
+        for c in fused
+        if c.kind == "length_quantiles" and c.p.get("method", "bins") == "bins"
+    ]
+    agg_in = df.selectExpr("*", *lqv) if lqv else df
+    exprs = ["count(1) AS n_rows"]
     for c in fused:
-        if c.kind == "length_quantiles" and c.p.get("method", "bins") == "bins":
-            _nb, _lo, _hi, log_scale, _ = _quantile_conf(c)
-            v = F.col(c.column).cast("double")
-            agg_in = agg_in.withColumn(
-                f"_lqv_{c.name}", F.log1p(v) if log_scale else v
-            )
-    exprs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in fused:
-        exprs.extend(_agg_exprs(c))
-    agg = agg_in.groupBy("partition_id").agg(*exprs)
+        exprs.extend(_agg_sql(c))
+    agg = agg_in.groupBy("partition_id").agg(*[F.expr(e) for e in exprs])
 
     # Unpivot every check's verdict out of the ONE agg row per partition via
-    # inline(array(struct...)) — a single projection, so the scan+shuffle run
-    # exactly once no matter how many checks the contract carries.
-    structs = []
-    for c in fused:
-        metric = F.round(_metric(c).cast("double"), 9)
-        nv = (
-            F.col(f"v_{c.name}") if c.kind in PREDICATE_KINDS else F.lit(0)
-        ).cast("long")
-        structs.append(
-            F.struct(
-                F.lit(c.name).alias("check_name"),
-                threshold_pass_col(c, metric).alias("pass"),
-                metric.alias("metric_value"),
-                F.lit(float(c.threshold.value)).alias("threshold"),
-                nv.alias("n_violations"),
-            )
-        )
+    # inline(array(named_struct...)) — a single projection, so the
+    # scan+shuffle run exactly once no matter how many checks the contract
+    # carries.
     verdicts = None
-    if structs:
-        verdicts = agg.select(
-            F.col("partition_id").cast("int").alias("partition_id"),
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.inline(F.array(*structs)),
+    if fused:
+        slots = ", ".join(_verdict_struct_sql(c) for c in fused)
+        verdicts = agg.selectExpr(
+            "CAST(partition_id AS int) AS partition_id",
+            "CAST(n_rows AS bigint) AS n_rows",
+            f"inline(array({slots}))",
         ).select(
             "partition_id", "check_name", "pass", "metric_value", "threshold",
             "n_rows", "n_violations",
@@ -246,27 +267,17 @@ def compile_stats_pass(
     violations = None
     pred_checks = [c for c in stats if c.kind in PREDICATE_KINDS]
     if pred_checks:
-        slots = [
-            F.when(
-                violation_predicate(c),
-                F.struct(
-                    F.lit(c.name).alias("check_name"),
-                    F.format_string(
-                        "%s: %s violates %s",
-                        F.lit(c.column), F.col(check_detail(c)), F.lit(c.kind),
-                    ).alias("violation_detail"),
-                ),
-            )
+        slots = ", ".join(
+            f"CASE WHEN {violation_predicate_sql(c)} THEN named_struct("
+            f"'check_name', '{c.name}', "
+            "'violation_detail', format_string('%s: %s violates %s', "
+            f"'{c.column}', {check_detail(c)}, '{c.kind}')) END"
             for c in pred_checks
-        ]
-        matched = F.filter(F.array(*slots), lambda x: x.isNotNull())
-        violations = df.select(
-            F.col("partition_id").cast("int").alias("partition_id"),
-            F.col("repo"),
-            F.col("path"),
-            F.col("commit"),
-            F.col("content_sha"),
-            F.explode(matched).alias("_v"),
+        )
+        violations = df.selectExpr(
+            "CAST(partition_id AS int) AS partition_id",
+            "repo", "path", "commit", "content_sha",
+            f"explode(filter(array({slots}), x -> x IS NOT NULL)) AS _v",
         ).select(
             "partition_id",
             F.col("_v.check_name").alias("check_name"),
