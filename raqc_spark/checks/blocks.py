@@ -29,16 +29,31 @@ def threshold_pass_col(check: Check, metric: Column) -> Column:
 def verdicts_from_partition_agg(
     agg: DataFrame,
     check: Check,
-    metric: Column,
-    n_violations: Column | None = None,
+    metric: Column | str,
+    n_violations: Column | str | None = None,
 ) -> DataFrame:
     """Project one check's verdict rows out of a shared per-partition agg.
 
     ``agg`` must carry ``partition_id`` and ``n_rows``; ``metric`` and
-    ``n_violations`` are expressions over its columns. Metrics are rounded to
-    9 decimals so verdicts are bit-identical across parallelism levels
+    ``n_violations`` are expressions over its columns — as Columns, or as
+    SQL text (the fast path: a single ``selectExpr`` round-trip instead of
+    ~25 py4j Column calls; py4j latency was measured to dominate the
+    contract build — see checks/stats.py module docs). Metrics are rounded
+    to 9 decimals so verdicts are bit-identical across parallelism levels
     (SURVEY.md §7.3.2 determinism under local[8] vs local[32]).
     """
+    if isinstance(metric, str):
+        m = f"round(CAST(({metric}) AS double), 9)"
+        nv = n_violations if isinstance(n_violations, str) else "0"
+        return agg.selectExpr(
+            "CAST(partition_id AS int) AS partition_id",
+            f"'{check.name}' AS check_name",
+            f"coalesce({check.threshold.sql(m)}, false) AS pass",
+            f"{m} AS metric_value",
+            f"CAST({float(check.threshold.value)!r} AS double) AS threshold",
+            "CAST(n_rows AS bigint) AS n_rows",
+            f"CAST({nv} AS bigint) AS n_violations",
+        )
     metric = F.round(metric.cast("double"), 9)
     nv = (n_violations if n_violations is not None else F.lit(0)).cast("long")
     return agg.select(

@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from raqc_spark.checks.blocks import verdicts_from_partition_agg
@@ -79,6 +79,19 @@ def _safe_frac(cnt: str, tot: str) -> Column:
     )
 
 
+def _safe_frac_sql(cnt: str, tot: str) -> str:
+    """SQL-text twin of _safe_frac (same CASE expression Catalyst sees)."""
+    return f"CASE WHEN {tot} = 0 THEN 0.0D ELSE {cnt} / {tot} END"
+
+
+def bucket_sql(value: str, lo: str, hi: str, num_bins: int) -> str:
+    """SQL-text twin of bucket_col — identical float arithmetic, so binned
+    verdicts are bit-identical between the Column and SQL-text paths."""
+    width = f"(({hi}) - ({lo})) / {num_bins}"
+    raw = f"floor((CAST({value} AS double) - ({lo})) / ({width}))"
+    return f"CAST(least(greatest({raw}, 0), {num_bins - 1}) AS int)"
+
+
 def _cat_counts(df: DataFrame, column: str) -> DataFrame:
     val = F.coalesce(F.col(column).cast("string"), F.lit("<null>")).alias("val")
     return df.groupBy("partition_id", val).agg(F.count(F.lit(1)).alias("cnt"))
@@ -87,20 +100,23 @@ def _cat_counts(df: DataFrame, column: str) -> DataFrame:
 def _psi_from_cells(cells: DataFrame, check: Check) -> DataFrame:
     """PSI table from per-(partition, val) cnt1/cnt2 cells — the shared math
     tail of drift_psi and compile_drift_pass (bit-identical by construction:
-    same integer counts through the same float expressions)."""
-    w = Window.partitionBy("partition_id")
-    cells = cells.withColumn("tot1", F.sum("cnt1").over(w)).withColumn(
-        "tot2", F.sum("cnt2").over(w)
+    same integer counts through the same float expressions). SQL-text build
+    (see checks/stats.py module docs on py4j round-trip cost)."""
+    cells = cells.selectExpr(
+        "*",
+        "sum(cnt1) OVER (PARTITION BY partition_id) AS tot1",
+        "sum(cnt2) OVER (PARTITION BY partition_id) AS tot2",
     )
     # Empty-side guard: a partition present in only one snapshot has tot=0 on
     # the other side; define its proportions as 0 (-> every category drifts
     # by its full mass, PSI large, verdict fails) instead of NULL-propagating.
-    p = _safe_frac("cnt1", "tot1") + F.lit(PSI_EPS)
-    q = _safe_frac("cnt2", "tot2") + F.lit(PSI_EPS)
-    term = (p - q) * F.log(p / q)
+    eps = f"{PSI_EPS!r}D"
+    p = f"({_safe_frac_sql('cnt1', 'tot1')} + {eps})"
+    q = f"({_safe_frac_sql('cnt2', 'tot2')} + {eps})"
+    term = f"(({p}) - ({q})) * ln(({p}) / ({q}))"
     return cells.groupBy("partition_id").agg(
-        F.round(F.sum(term), 9).alias("psi"),
-        F.max("tot2").alias("n_rows"),
+        F.expr(f"round(sum({term}), 9) AS psi"),
+        F.expr("max(tot2) AS n_rows"),
     )
 
 
@@ -206,23 +222,21 @@ def drift_ks(
 def _ks_from_cells(cells: DataFrame, check: Check) -> DataFrame:
     """KS table from per-(partition, bucket) cnt1/cnt2 cells — the shared
     math tail of drift_ks and compile_drift_pass."""
-    wcum = (
-        Window.partitionBy("partition_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("partition_id")
-    cells = (
-        cells.withColumn("cum1", F.sum("cnt1").over(wcum))
-        .withColumn("cum2", F.sum("cnt2").over(wcum))
-        .withColumn("tot1", F.sum("cnt1").over(wall))
-        .withColumn("tot2", F.sum("cnt2").over(wall))
+    wcum = ("PARTITION BY partition_id ORDER BY bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    cells = cells.selectExpr(
+        "*",
+        f"sum(cnt1) OVER ({wcum}) AS cum1",
+        f"sum(cnt2) OVER ({wcum}) AS cum2",
+        "sum(cnt1) OVER (PARTITION BY partition_id) AS tot1",
+        "sum(cnt2) OVER (PARTITION BY partition_id) AS tot2",
     )
     # empty-side guard: ECDF of an empty side is 0 everywhere -> D = max F2
-    d = F.abs(_safe_frac("cum1", "tot1") - _safe_frac("cum2", "tot2"))
+    d = (f"abs(({_safe_frac_sql('cum1', 'tot1')}) - "
+         f"({_safe_frac_sql('cum2', 'tot2')}))")
     return cells.groupBy("partition_id").agg(
-        F.round(F.max(d), 9).alias("ks"),
-        F.max("tot2").alias("n_rows"),
+        F.expr(f"round(max({d}), 9) AS ks"),
+        F.expr("max(tot2) AS n_rows"),
     )
 
 
@@ -252,69 +266,66 @@ def compile_drift_pass(
     """
     cols = sorted({c.column for c in checks})
     sides = [
-        df.select(
-            "partition_id", F.lit(tag).alias("_side"),
-            *[F.col(c) for c in cols],
-        )
+        df.selectExpr("partition_id", f"{tag} AS _side", *cols)
         for tag, df in ((1, s1), (2, s2))
     ]
     u = sides[0].unionByName(sides[1])
 
-    dims: list[tuple[str, Column]] = []
+    dims: list[tuple[str, str]] = []  # (dim name, SQL text)
     metas: list[tuple[Check, str]] = []  # (check, dim name)
     for c in checks:
         if c.kind == "drift_psi":
             dim = f"val_{c.name}"
-            expr = F.coalesce(F.col(c.column).cast("string"), F.lit("<null>"))
+            expr = f"coalesce(CAST({c.column} AS string), '<null>')"
         elif c.kind == "drift_ks":
             dim = f"bucket_{c.name}"
             p = c.p
             num_bins = int(p.get("num_bins", 64))
-            value = F.col(c.column)
+            value = c.column
             if p.get("log_scale"):
-                value = F.log1p(value.cast("double"))
+                value = f"log1p(CAST({c.column} AS double))"
             lo, hi = p.get("lo"), p.get("hi")
             if lo is None or hi is None:
                 mm = F.broadcast(
                     s1.agg(
-                        F.min(value).cast("double").alias(f"_lo_{c.name}"),
-                        F.max(value).cast("double").alias(f"_hi_{c.name}"),
+                        F.expr(f"CAST(min({value}) AS double)"
+                               f" AS _lo_{c.name}"),
+                        F.expr(f"CAST(max({value}) AS double)"
+                               f" AS _hi_{c.name}"),
                     )
                 )
                 u = u.crossJoin(mm)
                 lo_c = (
-                    F.coalesce(F.col(f"_lo_{c.name}"), F.lit(0.0))
-                    if lo is None else F.lit(float(lo))
+                    f"coalesce(_lo_{c.name}, 0.0D)"
+                    if lo is None else f"{float(lo)!r}D"
                 )
                 hi_raw = (
-                    F.coalesce(F.col(f"_hi_{c.name}"), F.lit(1.0))
-                    if hi is None else F.lit(float(hi))
+                    f"coalesce(_hi_{c.name}, 1.0D)"
+                    if hi is None else f"{float(hi)!r}D"
                 )
-                hi_c = F.when(hi_raw <= lo_c, lo_c + F.lit(1.0)).otherwise(
-                    hi_raw
-                )
+                hi_c = (f"CASE WHEN {hi_raw} <= {lo_c} THEN {lo_c} + 1.0D"
+                        f" ELSE {hi_raw} END")
             else:
                 lo_f, hi_f = float(lo), float(hi)
                 if hi_f <= lo_f:
                     hi_f = lo_f + 1.0
-                lo_c, hi_c = F.lit(lo_f), F.lit(hi_f)
+                lo_c, hi_c = f"{lo_f!r}D", f"{hi_f!r}D"
             # NULL value -> NULL bucket (filtered out of this check's
             # marginal below), matching binned_ecdf's isNotNull pre-filter.
-            # The when() mask is REQUIRED: Spark's least/greatest skip NULLs,
-            # so bucket_col alone would clamp a NULL value into bucket 0.
-            expr = F.when(
-                value.isNotNull(), bucket_col(value, lo_c, hi_c, num_bins)
-            )
+            # The CASE mask is REQUIRED: Spark's least/greatest skip NULLs,
+            # so bucket_sql alone would clamp a NULL value into bucket 0.
+            expr = (f"CASE WHEN {value} IS NOT NULL THEN "
+                    f"{bucket_sql(value, lo_c, hi_c, num_bins)} END")
         else:  # pragma: no cover - plan.compile_plan routes only drift kinds
             raise ValueError(f"not a drift check: {c.kind}")
         dims.append((dim, expr))
         metas.append((c, dim))
 
     cube = u.groupBy(
-        "partition_id", *[e.alias(d) for d, e in dims]
+        "partition_id", *[F.expr(f"{e} AS {d}") for d, e in dims]
     ).agg(
-        F.count_if(F.col("_side") == 1).alias("cnt1"),
-        F.count_if(F.col("_side") == 2).alias("cnt2"),
+        F.expr("count_if(_side = 1) AS cnt1"),
+        F.expr("count_if(_side = 2) AS cnt2"),
     ).coalesce(1)
     # coalesce(1), not persist: SinglePartition satisfies every downstream
     # clustering requirement, so the k marginal groupBys + ECDF windows +
@@ -328,16 +339,17 @@ def compile_drift_pass(
     for c, dim in metas:
         marginal = cube
         if c.kind == "drift_ks":
-            marginal = marginal.filter(F.col(dim).isNotNull())
+            marginal = marginal.filter(f"{dim} IS NOT NULL")
+        alias = "val" if c.kind == "drift_psi" else "bucket"
         cc = marginal.groupBy(
-            "partition_id", F.col(dim).alias("val" if c.kind == "drift_psi" else "bucket")
-        ).agg(F.sum("cnt1").alias("cnt1"), F.sum("cnt2").alias("cnt2"))
+            "partition_id", F.expr(f"{dim} AS {alias}")
+        ).agg(F.expr("sum(cnt1) AS cnt1"), F.expr("sum(cnt2) AS cnt2"))
         if c.kind == "drift_psi":
             table = _psi_from_cells(cc, c)
-            metric = F.col("psi")
+            metric = "psi"
         else:
             table = _ks_from_cells(cc, c)
-            metric = F.col("ks")
+            metric = "ks"
         verdict_parts.append(verdicts_from_partition_agg(table, c, metric))
     out = verdict_parts[0]
     for v in verdict_parts[1:]:
@@ -422,17 +434,17 @@ def hist2d_outlier_check(
     min_frac = float(p.get("min_cell_frac", 1e-4))
     smooth = bool(p.get("smooth", True))
 
-    length = F.col("content_length")
+    length = "content_length"
     if p.get("log_scale"):
-        length = F.log1p(length.cast("double"))
-    lang_idx = F.coalesce(F.col("lang"), F.lit("<null>"))
-    bucket = bucket_col(length, lo, hi, nbins)
+        length = "log1p(CAST(content_length AS double))"
+    lang_idx = "coalesce(lang, '<null>')"
+    bucket = bucket_sql(length, f"{lo!r}D", f"{hi!r}D", nbins)
 
     # NULL lengths are masked out of the histogram (they are the null_rate
     # check's domain, and Spark's least/greatest would silently clamp a NULL
     # bucket to 0, polluting the first cell) — RAQC likewise masks NaN
     # before histogramming. Verdict n_rows counts the histogrammed rows.
-    df = df.filter(F.col("content_length").isNotNull())
+    df = df.filter("content_length IS NOT NULL")
 
     # ONE scan -> per-PARTITION cell counts (≤ partitions × langs × bins
     # rows), coalesced to a single partition so every downstream window /
@@ -443,10 +455,10 @@ def hist2d_outlier_check(
     cells3 = (
         df.groupBy(
             F.col("partition_id"),
-            lang_idx.alias("lang_cell"),
-            bucket.alias("len_bucket"),
+            F.expr(f"{lang_idx} AS lang_cell"),
+            F.expr(f"{bucket} AS len_bucket"),
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.expr("count(1) AS cnt"))
         .coalesce(1)
     )
     if pool is not None:
@@ -457,48 +469,45 @@ def hist2d_outlier_check(
     # frame spans ALL partitions' rows of the ±1 neighbor buckets, so the sum
     # equals the smoothed global 2D-histogram count (bit-identical to the
     # round-2 global-cells formulation). smooth=False -> raw global cell cnt.
-    w_tot = Window.partitionBy(F.lit(1))
-    sm = (
-        Window.partitionBy("lang_cell")
-        .orderBy("len_bucket")
-        .rangeBetween(-1, 1)
+    score = (
+        "sum(cnt) OVER (PARTITION BY lang_cell ORDER BY len_bucket"
+        " RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
+        if smooth
+        else "sum(cnt) OVER (PARTITION BY lang_cell, len_bucket)"
     )
-    w_cell = Window.partitionBy("lang_cell", "len_bucket")
-    score = F.sum("cnt").over(sm) if smooth else F.sum("cnt").over(w_cell)
-    is_rare = (score / F.sum("cnt").over(w_tot)) < F.lit(min_frac)
-    scored = cells3.withColumn("_rare", is_rare)
+    scored = cells3.selectExpr(
+        "*",
+        f"(({score}) / (sum(cnt) OVER ())) < {float(min_frac)!r}D AS _rare",
+    )
 
     rare = (
         scored.filter(F.col("_rare"))
         .select("lang_cell", "len_bucket")
         .distinct()
     )
-    tagged = df.withColumn("lang_cell", lang_idx).withColumn(
-        "len_bucket", bucket
+    tagged = df.selectExpr(
+        "*", f"{lang_idx} AS lang_cell", f"{bucket} AS len_bucket"
     )
     flagged = tagged.join(
         F.broadcast(rare), ["lang_cell", "len_bucket"], "left_semi"
     )
-    violations = flagged.select(
-        F.col("partition_id").cast("int").alias("partition_id"),
-        F.lit(check.name).alias("check_name"),
+    violations = flagged.selectExpr(
+        "CAST(partition_id AS int) AS partition_id",
+        f"'{check.name}' AS check_name",
         "repo",
         "path",
         "commit",
-        F.format_string(
-            "rare hist cell (%s, bucket %d)", F.col("lang_cell"), F.col("len_bucket")
-        ).alias("violation_detail"),
+        "format_string('rare hist cell (%s, bucket %d)', lang_cell,"
+        " len_bucket) AS violation_detail",
         "content_sha",
     ).select(*VIOLATION_COLS)
 
     # verdicts entirely from the tiny scored cells — no row-level join
     agg = scored.groupBy("partition_id").agg(
-        F.sum("cnt").alias("n_rows"),
-        F.sum(F.when(F.col("_rare"), F.col("cnt")).otherwise(F.lit(0))).alias(
-            "n_viol"
-        ),
+        F.expr("sum(cnt) AS n_rows"),
+        F.expr("sum(CASE WHEN _rare THEN cnt ELSE 0 END) AS n_viol"),
     )
     verdicts = verdicts_from_partition_agg(
-        agg, check, F.col("n_viol") / F.col("n_rows"), F.col("n_viol")
+        agg, check, "n_viol / n_rows", "n_viol"
     )
     return verdicts, violations

@@ -22,32 +22,27 @@ def ref_integrity_check(
     keys = list(check.p.get("keys", ("repo", "commit")))
     dim_keys = F.broadcast(dim.select(*keys).dropDuplicates(keys))
 
-    violations = (
-        df.join(dim_keys, keys, "left_anti")
-        .select(
-            F.col("partition_id").cast("int").alias("partition_id"),
-            F.lit(check.name).alias("check_name"),
-            "repo",
-            "path",
-            "commit",
-            F.format_string(
-                "orphan %s not in dim", F.concat_ws(":", *[F.col(k) for k in keys])
-            ).alias("violation_detail"),
-            "content_sha",
-        )
-        .select(*VIOLATION_COLS)
-    )
+    violations = df.join(dim_keys, keys, "left_anti").selectExpr(
+        "CAST(partition_id AS int) AS partition_id",
+        f"'{check.name}' AS check_name",
+        "repo",
+        "path",
+        "commit",
+        f"format_string('orphan %s not in dim', concat_ws(':',"
+        f" {', '.join(keys)})) AS violation_detail",
+        "content_sha",
+    ).select(*VIOLATION_COLS)
 
     marked = dim_keys.withColumn("_hit", F.lit(1))
     agg = (
         df.join(marked, keys, "left")
         .groupBy("partition_id")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_if(F.col("_hit").isNull()).alias("n_viol"),
+            F.expr("count(1) AS n_rows"),
+            F.expr("count_if(_hit IS NULL) AS n_viol"),
         )
     )
     verdicts = verdicts_from_partition_agg(
-        agg, check, F.col("n_viol") / F.col("n_rows"), F.col("n_viol")
+        agg, check, "n_viol / n_rows", "n_viol"
     )
     return verdicts, violations

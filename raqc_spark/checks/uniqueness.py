@@ -84,29 +84,25 @@ def uniqueness_check(
         pool.append(dup_keys)
 
     dup_rows = df.join(F.broadcast(dup_keys.select(*keys)), keys, "left_semi")
-    w = Window.partitionBy(*keys).orderBy(F.col("content_sha"), F.col("lang"))
-    violations = (
-        dup_rows.withColumn("dup_rank", F.row_number().over(w))
-        .select(
-            F.col("partition_id").cast("int").alias("partition_id"),
-            F.lit(check.name).alias("check_name"),
-            "repo",
-            "path",
-            "commit",
-            F.format_string("duplicate key rank=%d", F.col("dup_rank")).alias(
-                "violation_detail"
-            ),
-            "content_sha",
-        )
-        .select(*VIOLATION_COLS)
+    rank = (
+        f"row_number() OVER (PARTITION BY {', '.join(keys)}"
+        " ORDER BY content_sha, lang)"
     )
+    violations = dup_rows.selectExpr(
+        "CAST(partition_id AS int) AS partition_id",
+        f"'{check.name}' AS check_name",
+        "repo",
+        "path",
+        "commit",
+        f"format_string('duplicate key rank=%d', {rank})"
+        " AS violation_detail",
+        "content_sha",
+    ).select(*VIOLATION_COLS)
 
     # per-partition verdict: duplicate-row rate from two TINY per-partition
     # counts joined on partition_id — no join back onto the fact table (the
     # round-1 broadcast-join-then-count scanned all rows a second time)
-    n_rows_pp = df.groupBy("partition_id").agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
+    n_rows_pp = df.groupBy("partition_id").agg(F.expr("count(1) AS n_rows"))
     if partition_spec is not None and partition_spec.key in keys:
         # every dup group lives in one partition (keys ⊇ partition key), so
         # n_viol per partition = Σ group counts — derived from the tiny
@@ -116,15 +112,15 @@ def uniqueness_check(
 
         n_viol_pp = dup_keys.groupBy(
             partition_id_col(partition_spec).alias("partition_id")
-        ).agg(F.sum("count").alias("n_viol"))
+        ).agg(F.expr("sum(count) AS n_viol"))
     else:
         n_viol_pp = dup_rows.groupBy("partition_id").agg(
-            F.count(F.lit(1)).alias("n_viol")
+            F.expr("count(1) AS n_viol")
         )
     agg = n_rows_pp.join(n_viol_pp, "partition_id", "left").fillna(
         0, subset=["n_viol"]
     )
     verdicts = verdicts_from_partition_agg(
-        agg, check, F.col("n_viol") / F.col("n_rows"), F.col("n_viol")
+        agg, check, "n_viol / n_rows", "n_viol"
     )
     return verdicts, violations
