@@ -58,6 +58,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CORE_QUERIES)
     out.update(EXTRA_QUERIES)
     out.update(PIPELINE_QUERIES)
+    # Sentinel LAST entry (VERDICT r3 task 2): the driver's sweep has a time
+    # budget that can drop the final registry entry (r2: multimodal_features;
+    # r3: doc_fingerprint). `zz_sentinel` is a redundant alias of the already
+    # -verified trivial scan_dim, so a budget cut lands on a duplicate row
+    # and every REAL operator keeps its correctness row.
+    out["zz_sentinel"] = EXTRA_QUERIES["scan_dim"]
     return out
 
 
@@ -71,4 +77,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(CORE_ORACLE)
     out.update(EXTRA_ORACLE)
     out.update(PIPELINE_ORACLE)
+    out["zz_sentinel"] = EXTRA_ORACLE["scan_dim"]
     return out

@@ -326,7 +326,7 @@ def compile_drift_pass(
     ).agg(
         F.expr("count_if(_side = 1) AS cnt1"),
         F.expr("count_if(_side = 2) AS cnt2"),
-    ).coalesce(1)
+    )
     # coalesce(1), not persist: SinglePartition satisfies every downstream
     # clustering requirement, so the k marginal groupBys + ECDF windows +
     # verdict aggs all plan WITHOUT exchanges (zero extra AQE stage jobs),
@@ -334,6 +334,18 @@ def compile_drift_pass(
     # verdict branches — AQE reuses it instead of recomputing the pair scan.
     # (pool/persist would add table-cache stage jobs per consumer — measured
     # net-negative on the job floor; the pool param stays for API symmetry.)
+    # GUARD (ADVICE r3): coalesce(1) is only safe when every PSI dim is
+    # low-cardinality — a drift_psi on a near-unique column (e.g. path)
+    # makes the cube ~input-cardinality and the single coalesced task
+    # serializes the final agg (the uniqueness.py trap, measured 54s->75s
+    # there). A check opts out with params=(("categorical", False),); then
+    # the cube keeps its hash partitioning and the marginal groupBys pay
+    # their (correctly parallel) exchanges instead.
+    if all(
+        c.kind != "drift_psi" or bool(c.p.get("categorical", True))
+        for c in checks
+    ):
+        cube = cube.coalesce(1)
 
     verdict_parts = []
     for c, dim in metas:

@@ -9,7 +9,23 @@ nothing here touches a SparkSession.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+#: Check names / column names / key lists are interpolated verbatim into
+#: SQL text by the checks/ compilers (``'{name}' AS check_name``, ``v_{name}``
+#: aliases, named_struct literals).  Restricting them to plain identifiers at
+#: validate() time makes that interpolation safe by construction — a quote or
+#: space in a YAML contract is rejected here, not parsed as SQL (ADVICE r3).
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _require_ident(what: str, value: object) -> None:
+    if not isinstance(value, str) or not _IDENT.match(value):
+        raise ValueError(
+            f"{what} must match [A-Za-z_][A-Za-z0-9_]* (got {value!r}); "
+            "names/columns/keys are interpolated into SQL text"
+        )
 
 
 @dataclass(frozen=True)
@@ -74,9 +90,19 @@ class Contract:
         names = [c.name for c in self.checks]
         if len(names) != len(set(names)):
             raise ValueError(f"duplicate check names: {names}")
+        _require_ident("partition_spec.key", self.partition_spec.key)
+        for col in self.schema_columns:
+            _require_ident("schema_columns entry", col)
         for c in self.checks:
             if c.kind not in KNOWN_KINDS:
                 raise ValueError(f"unknown check kind {c.kind!r} in {c.name!r}")
+            _require_ident(f"check name", c.name)
+            if c.column is not None:
+                _require_ident(f"column of check {c.name!r}", c.column)
+            keys = c.p.get("keys")
+            if keys is not None:
+                for k in keys:
+                    _require_ident(f"key of check {c.name!r}", k)
 
     # ------------------------------------------------- YAML (de)serialization
 

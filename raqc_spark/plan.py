@@ -193,8 +193,17 @@ def compile_plan(
         # ONE family for ALL drift checks: a single side-tagged union scan +
         # one cube groupBy feeds every PSI/KS marginal (VERDICT r2 task 1 —
         # per-check families each paid 2 groupBys + a full-outer join, the
-        # largest slice of the per-run AQE job floor). Splittable: every
-        # drift metric is per-partition independent.
+        # largest slice of the per-run AQE job floor).
+        # Splittable ONLY when every drift_ks has pinned (lo, hi): unpinned
+        # edges are derived from the partition-FILTERED s1, so a batched run
+        # would bin each batch differently and per-partition KS values would
+        # not match the whole-run values (ADVICE r3). PSI and pinned-edge KS
+        # are per-partition independent.
+        ks_edges_pinned = all(
+            c.kind != "drift_ks"
+            or (c.p.get("lo") is not None and c.p.get("hi") is not None)
+            for c in drift_checks
+        )
         families.append(
             CompiledFamily(
                 "drift",
@@ -206,6 +215,7 @@ def compile_plan(
                     ),
                     None,
                 ),
+                splittable=ks_edges_pinned,
             )
         )
 

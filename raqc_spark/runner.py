@@ -36,6 +36,7 @@ import threading
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,7 +68,14 @@ def _file_stamp(uri: str) -> str:
     """path + size + mtime: a parquet file rewritten IN PLACE at the same
     path (same name, new data) must change the fingerprint, or resume would
     silently reuse stale checkpointed verdicts (ADVICE r2)."""
-    path = uri[len("file:"):] if uri.startswith("file:") else uri
+    # inputFiles() returns percent-encoded URIs (space -> %20); decode the
+    # path component before stat, else those files silently fall back to the
+    # path-only stamp and in-place rewrites go undetected again (ADVICE r3).
+    if uri.startswith("file:"):
+        parsed = urlparse(uri)
+        path = unquote(parsed.path)
+    else:
+        path = unquote(uri) if "%" in uri else uri
     try:
         st = os.stat(path)
         return f"{uri}#{st.st_size}#{st.st_mtime_ns}"
