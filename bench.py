@@ -158,6 +158,26 @@ def run_contract_bench(spark, fixture_root: str, runs: int = 1) -> dict:
     }
 
 
+def _latest_prior_bench() -> dict | None:
+    """Per-query times from the newest BENCH_r{N}.json the driver recorded."""
+    import glob
+    import re as _re
+
+    best_n, path = -1, None
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, path = int(m.group(1)), p
+    if path is None:
+        return None
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return (doc.get("parsed") or doc).get("queries") or None
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -203,17 +223,42 @@ def main() -> None:
     )
     contract["contract_batched4_wall_sec"] = round(batched_wall, 3)
 
+    # ---- headline queries. The gate re-runs HERE (VERDICT r3 task 1): the
+    # contract section above takes ~40s+, so a gate that only ran before it
+    # says nothing about the window these queries execute in — r3's per-query
+    # numbers inflated 4-9x on unchanged code exactly this way. best-of-3,
+    # and each query records its wall-clock start + a procs_running sample
+    # per rep so a polluted entry is identifiable post-hoc instead of
+    # masquerading as an engine regression.
+    headline_quiet = wait_for_quiet(timeout=90)
     per_query: dict[str, float] = {}
+    query_env: dict[str, dict] = {}
     for name in HEADLINE:
         q = queries[name]
         best = None
-        for _ in range(2):  # best-of-2: damp sandbox noise + codegen warmup
+        procs: list[int] = []
+        started = round(time.time(), 1)
+        for _ in range(3):
+            procs.append(_procs_running())
             t0 = time.perf_counter()
             q(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         per_query[name] = round(best, 3)
+        query_env[name] = {"ts": started, "procs": procs}
     total = round(sum(per_query.values()) + contract["contract_wall_sec"], 3)
+
+    # ---- self-reported regression gate (VERDICT r3 task 7): any headline
+    # query >2x its prior-round best is listed instead of waiting for judge
+    # archaeology. Prior-round numbers may themselves be polluted (r3 was) —
+    # the field is a signal to investigate, not a verdict.
+    regressions: list[dict] = []
+    prior = _latest_prior_bench()
+    if prior:
+        for name, t in per_query.items():
+            p = prior.get(name)
+            if p and t > 2.0 * p and t - p > 0.5:
+                regressions.append({"query": name, "sec": t, "prior_sec": p})
 
     out = {
         "metric": "validation-suite wall time (contract + headline queries)",
@@ -223,6 +268,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "quiet_window": quiet,
+        "headline_quiet_window": headline_quiet,
+        "query_env": query_env,
+        "regressions": regressions,
         **contract,
     }
     scaling_path = os.path.join(REPO, "BENCH", "scaling_result.json")

@@ -346,6 +346,15 @@ def run_contract(
             s1p = s1p.select("partition_id", *drift_cols).persist()
             persist_pool.append(s1p)
     if cache:
+        if granularity == "family" and partition_batches > 1:
+            # Local (no-shuffle) sort by partition_id before caching: the
+            # in-memory columnar batches become runs of a single pid, so each
+            # partition-batch build's `partition_id IN (...)` filter prunes
+            # ~(1 - 1/batches) of the cache via batch min/max stats instead
+            # of rescanning the whole table per chunk — the dominant cost of
+            # batched family mode (VERDICT r3 task 5: 27.0s vs 15.5s run
+            # mode on the same fixture).
+            s2p = s2p.sortWithinPartitions("partition_id")
         s2p = s2p.persist()
 
     families = compile_plan(
