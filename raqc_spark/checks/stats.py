@@ -34,7 +34,7 @@ from raqc_spark.results import VIOLATION_COLS
 
 APPROX_PERCENTILE_ACCURACY = 10_000
 
-PREDICATE_KINDS = {"null_rate", "empty_content", "bounds"}
+PREDICATE_KINDS = {"null_rate", "empty_content", "bounds", "media_bounds"}
 STATS_KINDS = PREDICATE_KINDS | {"col_stats", "length_quantiles", "approx_distinct"}
 
 
@@ -71,6 +71,31 @@ def violation_predicate_sql(check: Check) -> str:
             parts.append(f"{c} > {hi!r}")
         pred = " OR ".join(parts) if parts else "false"
         return f"{c} IS NOT NULL AND ({pred})"
+    if check.kind == "media_bounds":
+        # Media-payload integrity (SURVEY.md §2 multimodal, VERDICT r3 task
+        # 6): payload byte size inside [min_bytes, max_bytes] and, when
+        # allowed_types is given, media type in the allow-list. A MISSING
+        # payload is a violation — a media row without bytes is broken, not
+        # ignorable (unlike bounds, whose NULL rows belong to null_rate).
+        # On the code-table shape (column="content") the payload size is the
+        # derived content_length (length() counts bytes for binary columns,
+        # so media_as_code_table payloads measure correctly); the type
+        # column defaults to `lang`, which the media adapter maps from
+        # media_type. Literal values are validated at Contract.validate()
+        # (identifier / MIME charset), so the SQL text is safe.
+        p = check.p
+        size = "content_length" if c == "content" else f"octet_length({c})"
+        parts = [f"{size} IS NULL"]
+        if p.get("min_bytes") is not None:
+            parts.append(f"{size} < {int(p['min_bytes'])}")
+        if p.get("max_bytes") is not None:
+            parts.append(f"{size} > {int(p['max_bytes'])}")
+        allowed = tuple(p.get("allowed_types", ()))
+        if allowed:
+            tc = p.get("type_col", "lang")
+            lits = ", ".join(f"'{t}'" for t in allowed)
+            parts.append(f"({tc} IS NULL OR {tc} NOT IN ({lits}))")
+        return " OR ".join(parts)
     raise ValueError(f"{check.kind} has no row-level predicate")
 
 
@@ -295,4 +320,7 @@ def check_detail(check: Check) -> str:
     or content_length for content-null checks where content itself is NULL)."""
     if check.column == "content":
         return "content_length"
+    if check.kind == "media_bounds":
+        # never embed raw payload bytes in a violation row
+        return f"octet_length({check.column})"
     return check.column

@@ -103,6 +103,17 @@ class Contract:
             if keys is not None:
                 for k in keys:
                     _require_ident(f"key of check {c.name!r}", k)
+            if c.kind == "media_bounds":
+                tc = c.p.get("type_col")
+                if tc is not None:
+                    _require_ident(f"type_col of check {c.name!r}", tc)
+                for t in c.p.get("allowed_types", ()):
+                    if not isinstance(t, str) or not _MEDIA_TYPE.match(t):
+                        raise ValueError(
+                            f"allowed_types entry {t!r} in {c.name!r} must "
+                            "match the MIME charset [A-Za-z0-9_/.+-]+; "
+                            "values are interpolated into SQL text"
+                        )
 
     # ------------------------------------------------- YAML (de)serialization
 
@@ -211,8 +222,13 @@ KNOWN_KINDS = frozenset(
         "drift_psi",
         "drift_ks",
         "hist2d_outlier",
+        "media_bounds",
     }
 )
+
+#: media-type literals ("image/png") are embedded as SQL string literals in
+#: the media_bounds predicate; restrict to the MIME charset (no quotes).
+_MEDIA_TYPE = re.compile(r"^[A-Za-z0-9_/.+-]+$")
 
 
 def default_contract() -> Contract:

@@ -54,6 +54,64 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def media_as_code_table(media: DataFrame) -> DataFrame:
+    """Map a MEDIA_SCHEMA frame onto the engine's code-table shape so the
+    ENTIRE contract machinery (run_contract, checkpoint/resume, verdict
+    sinks) runs over media tables unchanged (VERDICT r3 task 6):
+
+    - ``repo``    <- media_type  (the partitioning dimension: verdicts
+      roll up per media type, the analogue of per-repo)
+    - ``path``    <- media/<media_id>
+    - ``commit``  <- constant snapshot tag (media tables are single-version)
+    - ``lang``    <- media_type  (the default media_bounds type_col)
+    - ``content`` <- payload     (binary; length() counts BYTES on binary,
+      so the derived content_length is the true payload size)
+    """
+    return media.select(
+        F.col("media_type").alias("repo"),
+        F.concat(F.lit("media/"), F.col("media_id").cast("string")).alias(
+            "path"
+        ),
+        F.lit("snapshot").alias("commit"),
+        F.col("media_type").alias("lang"),
+        F.col("payload").alias("content"),
+    )
+
+
+def default_media_contract(
+    min_bytes: int = 1,
+    max_bytes: int = 10_000_000,
+    allowed_types: tuple[str, ...] = (
+        "text/plain", "image/png", "image/jpeg", "audio/wav", "video/mp4",
+    ),
+):
+    """Contract for a media table mapped through ``media_as_code_table``:
+    payload presence/size bounds + media-type allow-list (media_bounds,
+    fused into the one-scan stats pass) plus the generic integrity checks
+    that make sense for single-version media (nulls, uniqueness)."""
+    from raqc_spark.contract import Check, Contract, PartitionSpec, Threshold
+
+    return Contract(
+        checks=(
+            Check("schema", "schema"),
+            Check("media_payload_bounds", "media_bounds", column="content",
+                  threshold=Threshold("le", 0.0),
+                  params=(("min_bytes", min_bytes),
+                          ("max_bytes", max_bytes),
+                          ("type_col", "lang"),
+                          ("allowed_types", allowed_types))),
+            Check("null_rate_payload", "null_rate", column="content",
+                  threshold=Threshold("le", 0.0)),
+            Check("uniqueness", "uniqueness",
+                  params=(("keys", ("repo", "path")),)),
+        ),
+        partition_spec=PartitionSpec(key="repo", num_partitions=4),
+        # content is BINARY here; the schema check asserts string types, so
+        # it covers the metadata columns and media_bounds owns the payload
+        schema_columns=("repo", "path", "commit", "lang"),
+    )
+
+
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Arrow batch -> features. Real codec path gated on HAVE_CODECS."""
     if HAVE_CODECS:  # pragma: no cover

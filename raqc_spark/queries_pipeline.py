@@ -378,6 +378,59 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_media_bounds(spark, sf_dir):
+    """media_bounds check family over the media-mapped documents table —
+    the contract-reachable multimodal surface (VERDICT r3 task 6), driven
+    through the REAL check compiler (violation_predicate_sql) so the oracle
+    hash-verifies the same SQL text run_contract fuses into the stats pass."""
+    from raqc_spark.checks.stats import violation_predicate_sql
+    from raqc_spark.contract import Check, Threshold
+    from raqc_spark.functions.hashing import with_derived
+    from raqc_spark.functions.multimodal import media_as_code_table
+
+    chk = Check(
+        "media_payload_bounds", "media_bounds", column="content",
+        threshold=Threshold("le", 0.01),
+        params=(("min_bytes", 64), ("max_bytes", 100_000),
+                ("type_col", "lang"), ("allowed_types", ("text/plain",))),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    prepared = with_derived(media_as_code_table(documents_as_media(d)))
+    pred = violation_predicate_sql(chk)
+    return prepared.groupBy(F.col("lang").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.expr(f"count_if({pred})").alias("n_viol"),
+        F.round(F.expr(f"count_if({pred})") / F.count(F.lit(1)), 9).alias(
+            "viol_rate"
+        ),
+        (
+            F.round(F.expr(f"count_if({pred})") / F.count(F.lit(1)), 9)
+            <= F.lit(0.01)
+        ).alias("ok"),
+    )
+
+
+SQL_MEDIA_BOUNDS = """
+WITH m AS (
+  SELECT 'text/plain' AS media_type, octet_length(encode(text)) AS nb,
+         text
+  FROM documents
+)
+SELECT media_type,
+       count(*) AS n_media,
+       CAST(coalesce(sum(CASE WHEN nb IS NULL OR nb < 64 OR nb > 100000
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_viol,
+       round(CAST(coalesce(sum(CASE WHEN nb IS NULL OR nb < 64 OR nb > 100000
+                          THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*), 9)
+         AS viol_rate,
+       round(CAST(coalesce(sum(CASE WHEN nb IS NULL OR nb < 64 OR nb > 100000
+                          THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*), 9)
+         <= 0.01 AS ok
+FROM m
+GROUP BY media_type
+"""
+
+
 PIPELINE_QUERIES = {
     # multimodal first: in round 2 the driver's sweep produced no row for
     # multimodal_features — the LAST entry of the 51-query registry — which
@@ -386,6 +439,7 @@ PIPELINE_QUERIES = {
     # budget cut lands on a query with an independent pytest gate instead.
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "media_bounds": q_media_bounds,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -417,4 +471,5 @@ PIPELINE_ORACLE = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "media_bounds": SQL_MEDIA_BOUNDS,
 }
