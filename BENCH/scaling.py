@@ -44,18 +44,31 @@ N_CORES = int(os.environ.get("SCALING_N", "2"))
 N4_CORES = 4 * N_CORES
 
 CHILD = r"""
-import json, sys
+import json, os, sys
 sys.path.insert(0, {repo!r})
 from raqc_spark.session import get_spark
 import bench
 cores = int(sys.argv[1])
+# Split the big fixture's scans into ~8 tasks/core at the 4N level (and a
+# multiple of both core counts): the r4 floor probe measured the default
+# 128MB split giving 22-task scan stages — ceil(22/8)=3 waves vs 11 at 2
+# cores caps the per-job speedup at 3.67/4 by WAVE QUANTIZATION alone,
+# before any hardware effect. Both legs of a pair use the same split so
+# they run the identical job.
+root = bench.bench_fixture_dir({files})
+nbytes = 0
+for dirpath, _dn, fns in os.walk(root):
+    for f in fns:
+        if f.endswith(".parquet"):
+            nbytes += os.path.getsize(os.path.join(dirpath, f))
+split = max(2 << 20, nbytes // {splits})
 spark = get_spark("raqc_scaling", master=f"local[{{cores}}]",
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                               "spark.sql.files.maxPartitionBytes": str(split)}})
 # warm-up on the SMALL fixture: compiles every codegen path + warms the JVM
 # without leaving big-run heap debt (a big warm-up run measurably slows the
 # timed run that follows it)
 bench.run_contract_once(spark, bench.bench_fixture_dir(120_000))
-root = bench.bench_fixture_dir({files})
 rows, wall = bench.run_contract_once(spark, root)  # ONE timed big run per JVM
 print(json.dumps({{"cores": cores, "rows": rows, "wall": round(wall, 3)}}))
 """
@@ -87,7 +100,7 @@ def wait_for_quiet(threshold: int = 6, samples: int = 3, timeout: float = 600) -
 
 
 def run_once(cores: int) -> dict:
-    script = CHILD.format(repo=REPO, files=SCALING_FILES)
+    script = CHILD.format(repo=REPO, files=SCALING_FILES, splits=8 * N4_CORES)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,

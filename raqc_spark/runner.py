@@ -385,9 +385,14 @@ def run_contract(
             work.append((fam, None))
     try:
         if cache and work and granularity != "run":
-            # materialize the cache once before the family-thread fan-out
-            # (run mode executes as ONE union job — its first pass populates
-            # the cache without a dedicated extra scan)
+            # materialize the cache once before the family-thread fan-out.
+            # Run mode deliberately does NOT pre-count: AQE splits its union
+            # action into concurrent leaf query stages whose first pass
+            # fills the cache COOPERATIVELY (in-progress partitions are
+            # shared, not recomputed — measured r4 A/B on the 10.6M fixture:
+            # forcing a sequential pre-count cost +13% at local[2], ±0 at
+            # local[8], so the apparent "3 racing scan jobs" in the floor
+            # probe are overlap, not duplication).
             s2p.count()
         if granularity == "run" and work:
             all_rows.extend(_run_batched(work, run_dir, manifest))
