@@ -55,6 +55,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "text_quality",
     "doc_fingerprint",
+    "media_bounds",
 ]
 
 
