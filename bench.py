@@ -222,6 +222,7 @@ def main() -> None:
     # min-of-2: the many-action mode is floor-heavy, so a single co-tenant
     # burst inflates it far more than the run-mode metric (r4: one polluted
     # sample read 1.46x run mode where the quiet A/B measured 1.05x).
+    wait_for_quiet(timeout=60)
     batched_wall = min(
         run_contract_once(
             spark, fixture_root, granularity="family", partition_batches=4
