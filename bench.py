@@ -147,15 +147,28 @@ def run_contract_once(
 
 
 def run_contract_bench(spark, fixture_root: str, runs: int = 1) -> dict:
+    """Min-of-N contract wall, each run individually idle-gated.
+
+    r4's single gate before the section left the later runs exposed: the
+    section takes 40s+, co-tenant bursts arrive on minute scales, and the
+    recorded 22.6s/180.5s samples were mid-section pollution (VERDICT r4
+    "What's wrong" #4). Per-run gating + per-run procs samples make a
+    polluted sample identifiable and the min trustworthy."""
     best = None
     n_rows = 0
+    env = []
     for _ in range(runs):
+        q = wait_for_quiet(timeout=45)
+        p0 = _procs_running()
         n_rows, wall = run_contract_once(spark, fixture_root)
+        env.append({"quiet": q, "procs": [p0, _procs_running()],
+                    "wall": round(wall, 3)})
         best = wall if best is None else min(best, wall)
     return {
         "contract_rows": n_rows,
         "contract_wall_sec": round(best, 3),
         "contract_rows_per_sec": round(n_rows / best, 1),
+        "contract_env": env,
     }
 
 
@@ -219,16 +232,16 @@ def main() -> None:
     # checkpoint-granular mode (VERDICT r2 task 9): family granularity at
     # partition_batches=4 — the bounded-blast-radius production mode; its
     # overhead vs the two-action run mode is a tracked regression surface.
-    # min-of-2: the many-action mode is floor-heavy, so a single co-tenant
-    # burst inflates it far more than the run-mode metric (r4: one polluted
-    # sample read 1.46x run mode where the quiet A/B measured 1.05x).
-    wait_for_quiet(timeout=60)
-    batched_wall = min(
-        run_contract_once(
+    # min-of-2, each run idle-gated (r4's single pre-section gate let a
+    # co-tenant burst inflate one sample to 180.5s where the quiet A/B
+    # measured 11.5s — the gate must wrap every timed run).
+    batched_wall = None
+    for _ in range(2):
+        wait_for_quiet(timeout=45)
+        w = run_contract_once(
             spark, fixture_root, granularity="family", partition_batches=4
         )[1]
-        for _ in range(2)
-    )
+        batched_wall = w if batched_wall is None else min(batched_wall, w)
     contract["contract_batched4_wall_sec"] = round(batched_wall, 3)
 
     # ---- headline queries. The gate re-runs HERE (VERDICT r3 task 1): the
@@ -268,7 +281,7 @@ def main() -> None:
             if p and t > 2.0 * p and t - p > 0.5:
                 regressions.append({"query": name, "sec": t, "prior_sec": p})
 
-    out = {
+    full = {
         "metric": "validation-suite wall time (contract + headline queries)",
         "value": total,
         "unit": "sec",
@@ -284,8 +297,62 @@ def main() -> None:
     scaling_path = os.path.join(REPO, "BENCH", "scaling_result.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
-    print(json.dumps(out))
+            full["scaling"] = json.load(f)
+
+    # ---- output contract (VERDICT r4 "What's wrong" #2): the driver keeps
+    # only a bounded TAIL of stdout, so the full record goes to a committed
+    # file and stdout carries ONE compact JSON line (headline value,
+    # per-query times, contract metrics, scaling summary — no query_env /
+    # scaling pairs, which pushed r4's line start past the tail buffer and
+    # made BENCH_r04 parse as null).
+    path = os.path.join(REPO, "BENCH", f"bench_result_r{_round_no()}.json")
+    with open(path, "w") as f:
+        json.dump(full, f, indent=1)
+
+    compact = {
+        k: full[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "cpus",
+            "quiet_window", "headline_quiet_window", "regressions",
+            "contract_rows", "contract_wall_sec", "contract_rows_per_sec",
+            "contract_batched4_wall_sec",
+        )
+        if k in full
+    }
+    if "scaling" in full:
+        s = full["scaling"]
+        compact["scaling"] = {
+            k: s[k]
+            for k in (
+                "metric", "rows", "efficiency", "median_quiet_efficiency",
+                "n_quiet_pairs", "t_n_sec", "t_4n_sec", "rows_per_sec_n",
+                "rows_per_sec_4n", "floor_sec",
+            )
+            if k in s
+        }
+    compact["full_result_file"] = os.path.relpath(path, REPO)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 3500:  # pragma: no cover - guard against payload creep
+        # keep the line parseable at any cost: shed optional sections first
+        for drop in ("scaling", "regressions", "query_env"):
+            compact.pop(drop, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 3500:
+                break
+    print(line)
+
+
+def _round_no() -> int:
+    """Next round number: 1 + the newest BENCH_r{N}.json the driver wrote."""
+    import glob
+    import re as _re
+
+    best = 0
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
 
 
 if __name__ == "__main__":

@@ -104,6 +104,14 @@ class Contract:
                 for k in keys:
                     _require_ident(f"key of check {c.name!r}", k)
             if c.kind == "media_bounds":
+                # the compiler interpolates the column into the violation
+                # predicate; column=None would reach Spark analysis as the
+                # literal text 'octet_length(None)' (ADVICE r4)
+                if c.column is None:
+                    raise ValueError(
+                        f"media_bounds check {c.name!r} requires a column "
+                        "(the payload/size column the byte bounds apply to)"
+                    )
                 tc = c.p.get("type_col")
                 if tc is not None:
                     _require_ident(f"type_col of check {c.name!r}", tc)

@@ -43,11 +43,20 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     and signature partial-aggs (measured: the whole minhash signature build
     serialized into a 3.9s single-task stage at sf0.1). At 100 TB inputs
     arrive in thousands of splits and this is a no-op; locally it costs one
-    tiny shuffle of the raw docs."""
+    tiny shuffle of the raw docs.
+
+    The probe is ``inputFiles()`` (scan metadata, no job, no RDD
+    conversion): ``df.rdd.getNumPartitions()`` converted the analyzed plan
+    to an RDD on the driver on EVERY signature build — py4j cost on the hot
+    path the SQL-text rework just optimized (ADVICE r4). A file-backed
+    source with >= parallelism files is already spread (fast path, no
+    shuffle); anything else (few files, or an in-memory test frame, where
+    ``inputFiles()`` is empty) gets the tiny deterministic repartition."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    files = df.inputFiles()
+    if files and len(files) >= par:
+        return df
+    return df.repartition(par)
 
 
 def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

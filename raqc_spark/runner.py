@@ -50,6 +50,11 @@ def _safe(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.-]", "_", name)
 
 
+#: RFC 3986 scheme followed by "://" — distinguishes real URIs (decode the
+#: percent-encoding) from bare filesystem paths (never decode; ADVICE r4).
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
 @dataclass
 class RunResult:
     verdicts: DataFrame
@@ -74,8 +79,15 @@ def _file_stamp(uri: str) -> str:
     if uri.startswith("file:"):
         parsed = urlparse(uri)
         path = unquote(parsed.path)
+    elif _URI_SCHEME.match(uri):
+        # recognized URI (scheme://...): decode the percent-encoding Spark
+        # applied; os.stat will usually fail for remote schemes and fall
+        # back to the path-only stamp below, which is correct for them
+        path = unquote(urlparse(uri).path)
     else:
-        path = unquote(uri) if "%" in uri else uri
+        # bare filesystem path: leave untouched — a literal '%2b' in a
+        # directory name is part of the name, not an encoding (ADVICE r4)
+        path = uri
     try:
         st = os.stat(path)
         return f"{uri}#{st.st_size}#{st.st_mtime_ns}"

@@ -1,0 +1,98 @@
+"""Round-5 regression tests for the ADVICE r4 findings.
+
+1. media_bounds with column=None is rejected at Contract.validate()
+   (previously reached Spark analysis as the text 'octet_length(None)').
+2. _file_stamp never percent-decodes bare filesystem paths — a literal
+   '%2b' in a file name is part of the name, not an encoding.
+3. _spread_small_input probes via inputFiles() (scan metadata) instead of
+   converting the plan to an RDD per signature build.
+4. Registry armor: the sweep tail is 4 sentinel duplicates and the two r4
+   casualties lead the pipeline block.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from raqc_spark.contract import Check, Contract, Threshold
+
+
+def test_media_bounds_requires_column():
+    c = Contract(checks=(
+        Check("m", "media_bounds", column=None,
+              threshold=Threshold("le", 0.01),
+              params=(("min_bytes", 64),)),
+    ))
+    with pytest.raises(ValueError, match="requires a column"):
+        c.validate()
+    # with a column it validates fine
+    Contract(checks=(
+        Check("m", "media_bounds", column="content",
+              threshold=Threshold("le", 0.01),
+              params=(("min_bytes", 64),)),
+    )).validate()
+
+
+def test_file_stamp_leaves_bare_percent_paths_untouched(tmp_path):
+    """A bare path containing 'a%2b' must be stat'ed verbatim (ADVICE r4):
+    unquoting it would look for 'a+' and silently degrade to the path-only
+    stamp, losing in-place-rewrite detection."""
+    from raqc_spark.runner import _file_stamp
+
+    p = tmp_path / "a%2b.parquet"
+    p.write_bytes(b"x" * 77)
+    stamp = _file_stamp(str(p))
+    st = os.stat(p)
+    assert f"#{st.st_size}#" in stamp and stamp.endswith(str(st.st_mtime_ns))
+    # file: URIs are still decoded (the ADVICE r3 behavior is preserved)
+    q = tmp_path / "has space.parquet"
+    q.write_bytes(b"y" * 33)
+    uri = "file://" + str(tmp_path).replace(" ", "%20") + "/has%20space.parquet"
+    assert f"#{os.stat(q).st_size}#" in _file_stamp(uri)
+
+
+def test_spread_small_input_no_rdd_probe(spark, code_fixture, monkeypatch):
+    """The fast path (file-backed source with >= parallelism files) must
+    return the frame untouched WITHOUT touching .rdd; small / in-memory
+    sources get the deterministic repartition."""
+    import pyspark.sql.dataframe as dfmod
+
+    from raqc_spark.functions.dedup import _spread_small_input
+
+    def boom(self):  # pragma: no cover - failure path
+        raise AssertionError("_spread_small_input touched df.rdd")
+
+    monkeypatch.setattr(dfmod.DataFrame, "rdd", property(boom))
+    par = spark.sparkContext.defaultParallelism
+    # in-memory frame: no input files -> repartitioned, still no .rdd probe
+    mem = spark.range(100).selectExpr("cast(id as string) AS text")
+    out = _spread_small_input(mem)
+    assert "repartition" in out._jdf.queryExecution().logical().toString().lower() \
+        or out is not mem
+    # file-backed source: identity iff it already has >= par files
+    _, root = code_fixture
+    df = spark.read.parquet(f"{root}/code_files_s2.parquet")
+    spread = _spread_small_input(df)
+    if len(df.inputFiles()) >= par:
+        assert spread is df
+    else:
+        assert spread is not df
+
+
+def test_registry_tail_is_sentinels_and_casualties_lead():
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    keys = list(q)
+    assert keys[-4:] == [f"zz_sentinel_{i}" for i in (1, 2, 3, 4)]
+    for i in (1, 2, 3, 4):
+        assert q[f"zz_sentinel_{i}"] is q["scan_dim"]
+        assert o[f"zz_sentinel_{i}"] == o["scan_dim"]
+    # the two r4 budget-cut casualties now lead the pipeline block
+    from raqc_spark.queries_pipeline import PIPELINE_QUERIES
+
+    pk = list(PIPELINE_QUERIES)
+    assert pk[0] == "doc_fingerprint" and pk[1] == "dedup_embedding_cosine"
