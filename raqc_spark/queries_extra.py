@@ -334,9 +334,98 @@ def q_run_contract_verdicts(spark, sf_dir):
     return res.verdicts
 
 
+def q_run_contract_verdicts_oracle(spark, sf_dir):
+    """Hash-gated orchestration surface (VERDICT r4 task 6): a REDUCED
+    deterministic contract through the FULL run_contract lifecycle
+    (prepare -> fused stats pass -> uniqueness family -> checkpoint sinks
+    -> verdict union), with every verdict row reproducible in ANSI SQL.
+
+    Two reductions make the DuckDB twin exact where the full contract
+    cannot be: ``num_partitions=1`` (partition_id = pmod(xxhash64(key), 1)
+    = 0, so the oracle needs no xxhash64 twin) and only exactly-computable
+    check kinds (no HLL / percentile sketches). Everything the row passes
+    through — derive_cols, the shared partition agg, threshold verdicts,
+    the manifest/sink plumbing — is the production path."""
+    import tempfile
+
+    from __spark_entry__ import _documents_as_code_table
+    from raqc_spark.contract import Check, Contract, PartitionSpec, Threshold
+    from raqc_spark.runner import run_contract
+
+    contract = Contract(
+        checks=(
+            Check("schema", "schema"),
+            Check("null_rate_lang", "null_rate", column="lang",
+                  threshold=Threshold("le", 0.005)),
+            Check("empty_content", "empty_content", column="content",
+                  threshold=Threshold("le", 0.002)),
+            Check("bounds_content_length", "bounds", column="content_length",
+                  threshold=Threshold("le", 0.05),
+                  params=(("lo", 200), ("hi", 20000))),
+            Check("uniqueness_repo_lang", "uniqueness",
+                  threshold=Threshold("le", 1.0),
+                  params=(("keys", ("repo", "lang")),)),
+        ),
+        partition_spec=PartitionSpec(key="repo", num_partitions=1),
+    )
+    s2 = _documents_as_code_table(spark, sf_dir)
+    res = run_contract(
+        spark, contract, s2,
+        run_dir=tempfile.mkdtemp(prefix="raqc_qo_"), resume=False,
+    )
+    return res.verdicts
+
+
+SQL_RUN_CONTRACT_VERDICTS_ORACLE = """
+WITH m AS (
+  SELECT source AS repo, lang, length(text) AS content_length
+  FROM documents
+), base AS (
+  SELECT count(*) AS n_rows,
+    CAST(coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS v_null,
+    CAST(coalesce(sum(CASE WHEN content_length IS NOT NULL
+                       AND content_length = 0 THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS v_empty,
+    CAST(coalesce(sum(CASE WHEN content_length IS NOT NULL
+                       AND (content_length < 200 OR content_length > 20000)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_bounds
+  FROM m
+), dup AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS v_dup
+  FROM (SELECT count(*) AS c FROM m GROUP BY repo, lang HAVING count(*) > 1)
+)
+SELECT CAST(-1 AS INT) AS partition_id, 'schema' AS check_name, true AS pass,
+       CAST(0.0 AS DOUBLE) AS metric_value, CAST(0.0 AS DOUBLE) AS threshold,
+       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_violations
+UNION ALL
+SELECT CAST(0 AS INT), 'null_rate_lang',
+       round(CAST(v_null AS DOUBLE) / n_rows, 9) <= 0.005,
+       round(CAST(v_null AS DOUBLE) / n_rows, 9), CAST(0.005 AS DOUBLE),
+       n_rows, v_null FROM base
+UNION ALL
+SELECT CAST(0 AS INT), 'empty_content',
+       round(CAST(v_empty AS DOUBLE) / n_rows, 9) <= 0.002,
+       round(CAST(v_empty AS DOUBLE) / n_rows, 9), CAST(0.002 AS DOUBLE),
+       n_rows, v_empty FROM base
+UNION ALL
+SELECT CAST(0 AS INT), 'bounds_content_length',
+       round(CAST(v_bounds AS DOUBLE) / n_rows, 9) <= 0.05,
+       round(CAST(v_bounds AS DOUBLE) / n_rows, 9), CAST(0.05 AS DOUBLE),
+       n_rows, v_bounds FROM base
+UNION ALL
+SELECT CAST(0 AS INT), 'uniqueness_repo_lang',
+       round(CAST(d.v_dup AS DOUBLE) / b.n_rows, 9) <= 1.0,
+       round(CAST(d.v_dup AS DOUBLE) / b.n_rows, 9), CAST(1.0 AS DOUBLE),
+       b.n_rows, d.v_dup FROM base b, dup d
+"""
+
+
 EXTRA_QUERIES["json_extract"] = q_json_extract
 EXTRA_QUERIES["run_contract_verdicts"] = q_run_contract_verdicts
+EXTRA_QUERIES["run_contract_verdicts_oracle"] = q_run_contract_verdicts_oracle
 EXTRA_ORACLE["json_extract"] = SQL_JSON_EXTRACT
+EXTRA_ORACLE["run_contract_verdicts_oracle"] = SQL_RUN_CONTRACT_VERDICTS_ORACLE
 
 
 def q_check_embedding_schema(spark, sf_dir):

@@ -431,6 +431,75 @@ GROUP BY media_type
 """
 
 
+def q_media_contract_verdicts(spark, sf_dir):
+    """The media contract END-TO-END in the driver sweep (VERDICT r4 task
+    7): default_media_contract over the media-mapped documents table,
+    through the full run_contract lifecycle (media_bounds fused into the
+    stats pass, uniqueness family, checkpoint sinks, verdict union).
+    num_partitions dropped to 1 so partition_id (pmod(xxhash64(repo), P))
+    needs no xxhash64 twin and every verdict row is DuckDB-reproducible."""
+    import dataclasses
+    import tempfile
+
+    from raqc_spark.contract import PartitionSpec
+    from raqc_spark.functions.multimodal import (
+        default_media_contract,
+        media_as_code_table,
+    )
+    from raqc_spark.runner import run_contract
+
+    contract = dataclasses.replace(
+        default_media_contract(),
+        partition_spec=PartitionSpec(key="repo", num_partitions=1),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    media = media_as_code_table(documents_as_media(d))
+    res = run_contract(
+        spark, contract, media,
+        run_dir=tempfile.mkdtemp(prefix="raqc_qm_"), resume=False,
+    )
+    return res.verdicts
+
+
+SQL_MEDIA_CONTRACT_VERDICTS = """
+WITH m AS (
+  SELECT 'text/plain' AS repo, 'media/' || CAST(doc_id AS VARCHAR) AS path,
+         strlen(text) AS content_length
+  FROM documents
+), base AS (
+  SELECT count(*) AS n_rows,
+    CAST(coalesce(sum(CASE WHEN content_length IS NULL
+                       OR content_length < 1
+                       OR content_length > 10000000 THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS v_media,
+    CAST(coalesce(sum(CASE WHEN content_length IS NULL
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_null
+  FROM m
+), dup AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS v_dup
+  FROM (SELECT count(*) AS c FROM m GROUP BY repo, path HAVING count(*) > 1)
+)
+SELECT CAST(-1 AS INT) AS partition_id, 'schema' AS check_name, true AS pass,
+       CAST(0.0 AS DOUBLE) AS metric_value, CAST(0.0 AS DOUBLE) AS threshold,
+       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_violations
+UNION ALL
+SELECT CAST(0 AS INT), 'media_payload_bounds',
+       round(CAST(v_media AS DOUBLE) / n_rows, 9) <= 0.0,
+       round(CAST(v_media AS DOUBLE) / n_rows, 9), CAST(0.0 AS DOUBLE),
+       n_rows, v_media FROM base
+UNION ALL
+SELECT CAST(0 AS INT), 'null_rate_payload',
+       round(CAST(v_null AS DOUBLE) / n_rows, 9) <= 0.0,
+       round(CAST(v_null AS DOUBLE) / n_rows, 9), CAST(0.0 AS DOUBLE),
+       n_rows, v_null FROM base
+UNION ALL
+SELECT CAST(0 AS INT), 'uniqueness',
+       round(CAST(d.v_dup AS DOUBLE) / b.n_rows, 9) <= 0.0,
+       round(CAST(d.v_dup AS DOUBLE) / b.n_rows, 9), CAST(0.0 AS DOUBLE),
+       b.n_rows, d.v_dup FROM base b, dup d
+"""
+
+
 PIPELINE_QUERIES = {
     # Ordering is registry armor (VERDICT r2 task 3, r3 task 2, r4 "What's
     # wrong" #1): the driver sweep's time budget drops entries from the
@@ -444,6 +513,7 @@ PIPELINE_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "media_bounds": q_media_bounds,
+    "media_contract_verdicts": q_media_contract_verdicts,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -474,4 +544,5 @@ PIPELINE_ORACLE = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "media_bounds": SQL_MEDIA_BOUNDS,
+    "media_contract_verdicts": SQL_MEDIA_CONTRACT_VERDICTS,
 }
