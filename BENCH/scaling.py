@@ -26,7 +26,9 @@ Methodology (forced by measured sandbox behavior):
   (JIT + codegen) before its ONE timed big run per JVM.
 
 Writes BENCH/scaling_result.json (embedded in bench.py output) and
-BENCH/BASELINE.md.
+BENCH/SCALING_AUTO.md (generated summary; BENCH/BASELINE.md is the
+hand-maintained narrative and is NOT overwritten — r4 grew sections this
+script's template would have destroyed).
 """
 
 from __future__ import annotations
@@ -183,7 +185,7 @@ def main() -> None:
         for i, p in enumerate(pairs)
     )
     b = best
-    md = f"""# BENCH/BASELINE.md — measured results (round 3)
+    md = f"""# BENCH/SCALING_AUTO.md — generated scaling summary
 
 ## Scaling evidence: local[{N_CORES}] -> local[{N4_CORES}] (N -> 4N cores)
 
@@ -274,7 +276,7 @@ Environment: local mode, single host, {os.cpu_count()} host cores,
 PySpark 4.1.2, AQE on, shuffle partitions 32, driver heap 48g.
 Generated by BENCH/scaling.py in {time.time() - t0:.0f}s.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_AUTO.md"), "w") as f:
         f.write(md)
     print(md)
 

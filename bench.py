@@ -309,6 +309,14 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(full, f, indent=1)
 
+    print(make_compact_line(full, os.path.relpath(path, REPO)))
+
+
+def make_compact_line(full: dict, result_file: str) -> str:
+    """The single driver-parseable stdout line: required driver-contract
+    keys (metric/value/unit/queries/sf) + headline metrics, bounded <3.5KB
+    (sheds optional sections if a future payload grows past the driver's
+    tail buffer rather than ever becoming unparseable again)."""
     compact = {
         k: full[k]
         for k in (
@@ -330,16 +338,16 @@ def main() -> None:
             )
             if k in s
         }
-    compact["full_result_file"] = os.path.relpath(path, REPO)
+    compact["full_result_file"] = result_file
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 3500:  # pragma: no cover - guard against payload creep
+    if len(line) > 3500:
         # keep the line parseable at any cost: shed optional sections first
-        for drop in ("scaling", "regressions", "query_env"):
+        for drop in ("scaling", "regressions", "queries"):
             compact.pop(drop, None)
             line = json.dumps(compact, separators=(",", ":"))
             if len(line) <= 3500:
                 break
-    print(line)
+    return line
 
 
 def _round_no() -> int:

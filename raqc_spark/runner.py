@@ -268,13 +268,37 @@ def _run_batched(
         verdict_parts.append(v)
         if viol is not None:
             viol_parts.append(viol.withColumn("family", F.lit(_safe(fam.name))))
-    if viol_parts:
+
+    def _write() -> None:
+        if not viol_parts:
+            return
         allv = viol_parts[0]
         for p in viol_parts[1:]:
             allv = allv.unionByName(p)
         out = os.path.join(run_dir, "violations")
         _write_violations(allv, out, keys=("family", "partition_id"))
-    rows = [r.asDict() for r in union_verdicts(verdict_parts).collect()]
+
+    def _collect() -> list[dict]:
+        return [r.asDict() for r in union_verdicts(verdict_parts).collect()]
+
+    # The two actions are independent DAGs over the same (cached) prepared
+    # snapshot — submit them from concurrent driver threads, like family
+    # mode already does per family, so each action's straggler tail and
+    # inter-job driver gaps overlap with the other's work (the r4 event-log
+    # decomposition charged ~7s of the 58s local[8] wall to packing slack).
+    # Caveat measured in r5: with a COLD cache the two actions double-
+    # compute the scan (cross-action cache fill is not cooperative the way
+    # one action's AQE leaf stages are), so overlap mode is gated by
+    # RAQC_RUN_OVERLAP and measured A/B before being defaulted.
+    if os.environ.get("RAQC_RUN_OVERLAP", "0") == "1":
+        with ThreadPoolExecutor(max_workers=2) as pool2:
+            fut_w = pool2.submit(_write)
+            fut_c = pool2.submit(_collect)
+            rows = fut_c.result()
+            fut_w.result()
+    else:
+        _write()
+        rows = _collect()
     by_check: dict[str, list[dict]] = {}
     for r in rows:
         by_check.setdefault(r["check_name"], []).append(r)
@@ -396,7 +420,10 @@ def run_contract(
             # untouched, or partial-but-unsplittable: (re)run fully
             work.append((fam, None))
     try:
-        if cache and work and granularity != "run":
+        if cache and work and (
+            granularity != "run"
+            or os.environ.get("RAQC_RUN_PRECOUNT", "0") == "1"
+        ):
             # materialize the cache once before the family-thread fan-out.
             # Run mode deliberately does NOT pre-count: AQE splits its union
             # action into concurrent leaf query stages whose first pass

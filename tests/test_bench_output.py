@@ -1,0 +1,71 @@
+"""The driver's bench output contract (VERDICT r4 "What's wrong" #2).
+
+BENCH_r04 parsed as null because the single stdout JSON line outgrew the
+driver's bounded tail buffer. The contract now: full record to a committed
+file, ONE compact final stdout line that stays parseable and keeps the
+driver-required keys.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import make_compact_line
+
+FULL = {
+    "metric": "validation-suite wall time (contract + headline queries)",
+    "value": 30.0,
+    "unit": "sec",
+    "queries": {f"q{i}": round(0.1 * i, 3) for i in range(22)},
+    "sf": 0.1,
+    "cpus": 32,
+    "quiet_window": True,
+    "headline_quiet_window": True,
+    "query_env": {f"q{i}": {"ts": 1.7e9 + i, "procs": [1, 2, 3]} for i in range(22)},
+    "regressions": [],
+    "contract_rows": 663913,
+    "contract_wall_sec": 15.5,
+    "contract_rows_per_sec": 42833.1,
+    "contract_batched4_wall_sec": 17.0,
+    "contract_env": [{"quiet": True, "procs": [1, 1], "wall": 15.5}],
+    "scaling": {
+        "metric": "throughput scaling efficiency local[1] -> local[4]",
+        "rows": 10623491,
+        "pairs": [{"n": {"wall": 300.0}, "n4": {"wall": 90.0}, "eff": 0.83}] * 5,
+        "efficiency": 0.83,
+        "median_quiet_efficiency": 0.87,
+        "n_quiet_pairs": 5,
+        "t_n_sec": 300.0,
+        "t_4n_sec": 90.0,
+        "rows_per_sec_n": 35000.0,
+        "rows_per_sec_4n": 118000.0,
+        "floor_sec": 10.8,
+    },
+}
+
+
+def test_compact_line_parses_and_keeps_driver_contract_keys():
+    line = make_compact_line(FULL, "BENCH/bench_result_r5.json")
+    doc = json.loads(line)
+    # driver contract: ONE JSON line with these keys
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in doc, k
+    assert len(line) < 3500
+    # the bulky diagnostics live in the file, never on stdout
+    assert "query_env" not in doc
+    assert "pairs" not in doc.get("scaling", {})
+    assert doc["full_result_file"] == "BENCH/bench_result_r5.json"
+
+
+def test_compact_line_sheds_sections_rather_than_growing():
+    big = dict(FULL)
+    # a pathological regressions payload (the r4 failure mode: growth)
+    big["regressions"] = [
+        {"query": f"some_very_long_query_name_{i}", "sec": 1.0, "prior_sec": 0.5}
+        for i in range(200)
+    ]
+    line = make_compact_line(big, "BENCH/x.json")
+    doc = json.loads(line)
+    assert len(line) <= 3500
+    for k in ("metric", "value", "unit", "sf"):
+        assert k in doc, k
