@@ -255,6 +255,7 @@ def _run_batched(
     work: list[tuple[CompiledFamily, frozenset[int] | None]],
     run_dir: str,
     manifest: Manifest,
+    overlap: bool = True,
 ) -> list[dict]:
     """granularity='run': union every family's violations into ONE write and
     every family's verdicts into ONE collect (two actions total), then split
@@ -288,9 +289,12 @@ def _run_batched(
     # decomposition charged ~7s of the 58s local[8] wall to packing slack).
     # Caveat measured in r5: with a COLD cache the two actions double-
     # compute the scan (cross-action cache fill is not cooperative the way
-    # one action's AQE leaf stages are), so overlap mode is gated by
-    # RAQC_RUN_OVERLAP and measured A/B before being defaulted.
-    if os.environ.get("RAQC_RUN_OVERLAP", "0") == "1":
+    # one action's AQE leaf stages are) — run_contract therefore
+    # pre-materializes the cache before calling here (see the pre-count
+    # above). Defaulted ON after the interleaved quiet 3-way A/B showed
+    # pre-count+overlap fastest at both local[2] and local[8]
+    # (BENCH/BASELINE.md r5); RAQC_RUN_OVERLAP=0 restores sequential.
+    if overlap and os.environ.get("RAQC_RUN_OVERLAP", "1") == "1":
         with ThreadPoolExecutor(max_workers=2) as pool2:
             fut_w = pool2.submit(_write)
             fut_c = pool2.submit(_collect)
@@ -422,19 +426,27 @@ def run_contract(
     try:
         if cache and work and (
             granularity != "run"
-            or os.environ.get("RAQC_RUN_PRECOUNT", "0") == "1"
+            or os.environ.get("RAQC_RUN_PRECOUNT", "1") == "1"
         ):
-            # materialize the cache once before the family-thread fan-out.
-            # Run mode deliberately does NOT pre-count: AQE splits its union
-            # action into concurrent leaf query stages whose first pass
-            # fills the cache COOPERATIVELY (in-progress partitions are
-            # shared, not recomputed — measured r4 A/B on the 10.6M fixture:
-            # forcing a sequential pre-count cost +13% at local[2], ±0 at
-            # local[8], so the apparent "3 racing scan jobs" in the floor
-            # probe are overlap, not duplication).
+            # materialize the cache once before the concurrent-action
+            # fan-out (family threads, or run mode's write∥collect pair).
+            # History: r4 measured a pre-count at +13%/local[2] against the
+            # then-SEQUENTIAL run mode (one action's AQE leaf stages fill
+            # the cache cooperatively, so the pre-count only added a
+            # barrier). With r5's overlapped actions the trade inverts:
+            # cross-action fill is NOT cooperative — two cold actions
+            # double-compute the scan (measured 229s vs 174s seq at
+            # local[2]) — while pre-count + overlap beats sequential at
+            # BOTH levels (local[2] 156.5s vs 173.8s; local[8] 50.7s vs
+            # 55.4s; interleaved quiet A/B, BENCH/BASELINE.md r5).
             s2p.count()
         if granularity == "run" and work:
-            all_rows.extend(_run_batched(work, run_dir, manifest))
+            # overlap only when the prepared snapshot is cached (and
+            # pre-materialized above): uncached concurrent actions would
+            # double-compute the scan (measured r5, BENCH/BASELINE.md)
+            all_rows.extend(
+                _run_batched(work, run_dir, manifest, overlap=cache)
+            )
             ran.extend(f.name for f, _ in work)
         else:
             # Families are independent DAGs -> submit them from concurrent
