@@ -243,6 +243,12 @@ def _run_family(
     all_rows: list[dict] = []
     for i, chunk in enumerate(chunks):
         verdicts, violations = fam.build(chunk)
+        # NOT overlapped (unlike run mode, r5): family threads already run
+        # concurrently, so doubling each thread's in-flight actions was
+        # measured to oversubscribe the scheduler and SLOW batched mode
+        # (quiet probe: 22.9-25.0s vs 17.4-20.7s sequential on the 600k
+        # fixture at local[32]) — run mode wins from overlap because it has
+        # exactly two actions total, not 2 x families x batches.
         if violations is not None:
             _write_violations(violations, out)
         rows = [r.asDict() for r in verdicts.collect()]  # tiny: P × checks
