@@ -52,7 +52,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "simsearch_cosine_topk",
     "simsearch_ivf",
-    "text_bpe_tokens",
+    "text_token_count",
     "text_quality",
     "doc_fingerprint",
     "media_bounds",

@@ -327,11 +327,20 @@ def q_run_contract_verdicts(spark, sf_dir):
     s2 = _documents_as_code_table(spark, sf_dir)
     s1 = s2.filter(F.xxhash64("path") % 2 == 0)
     commits = s2.select("repo", "commit").distinct()
-    res = run_contract(
-        spark, default_contract(), s2, s1=s1, commits_dim=commits,
-        run_dir=tempfile.mkdtemp(prefix="raqc_q_"), resume=False,
-    )
-    return res.verdicts
+    # verdicts are materialized rows (runner.py createDataFrame), so the
+    # run_dir can be reclaimed immediately (ADVICE r5: repeated sweeps were
+    # accumulating orphaned run_dirs in /tmp)
+    import shutil
+
+    run_dir = tempfile.mkdtemp(prefix="raqc_q_")
+    try:
+        res = run_contract(
+            spark, default_contract(), s2, s1=s1, commits_dim=commits,
+            run_dir=run_dir, resume=False,
+        )
+        return res.verdicts
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 def q_run_contract_verdicts_oracle(spark, sf_dir):
@@ -369,11 +378,16 @@ def q_run_contract_verdicts_oracle(spark, sf_dir):
         partition_spec=PartitionSpec(key="repo", num_partitions=1),
     )
     s2 = _documents_as_code_table(spark, sf_dir)
-    res = run_contract(
-        spark, contract, s2,
-        run_dir=tempfile.mkdtemp(prefix="raqc_qo_"), resume=False,
-    )
-    return res.verdicts
+    # run_dir reclaimed right away: verdicts are materialized rows
+    # (ADVICE r5 orphaned-/tmp-dirs finding)
+    import shutil
+
+    run_dir = tempfile.mkdtemp(prefix="raqc_qo_")
+    try:
+        res = run_contract(spark, contract, s2, run_dir=run_dir, resume=False)
+        return res.verdicts
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 SQL_RUN_CONTRACT_VERDICTS_ORACLE = """
@@ -422,7 +436,11 @@ SELECT CAST(0 AS INT), 'uniqueness_repo_lang',
 
 
 EXTRA_QUERIES["json_extract"] = q_json_extract
-EXTRA_QUERIES["run_contract_verdicts"] = q_run_contract_verdicts
+# run_contract_verdicts (full-contract rows-only lifecycle) lost its
+# registry slot in r6 (VERDICT r5 task 1, 50-row sweep cap): the hash-gated
+# run_contract_verdicts_oracle entry below covers the identical lifecycle
+# (prepare -> fused stats -> sinks -> verdict union) under the stronger
+# check; the full contract stays exercised by entry() and tests/test_runner.
 EXTRA_QUERIES["run_contract_verdicts_oracle"] = q_run_contract_verdicts_oracle
 EXTRA_ORACLE["json_extract"] = SQL_JSON_EXTRACT
 EXTRA_ORACLE["run_contract_verdicts_oracle"] = SQL_RUN_CONTRACT_VERDICTS_ORACLE

@@ -101,7 +101,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per document (rows-only; deterministic)."""
+    """64-bit SimHash per document (deterministic). No registry slot since
+    r6 (50-row sweep cap): signature construction is the first stage of
+    dedup_simhash_pairs below and stays pinned by tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(doc_tokens(d, "doc_id"))
 
@@ -176,14 +178,27 @@ FROM documents GROUP BY 1, 2
 
 
 def q_text_quality(spark, sf_dir):
+    """Quality scoring AND filtering, fused into one scan (VERDICT r5 task
+    1: the driver sweep hard-caps at 50 rows, so the former text_quality +
+    text_quality_filter entries are ONE query — which is also the shape a
+    real pipeline runs: score the doc, apply the keep-gates, aggregate both
+    in the same codegen'd groupBy). Keep-gates: >=5 tokens, >=0.6 alpha
+    ratio, <=0.3 whitespace ratio — pure Column predicates, pushed at the
+    scan."""
     d = load_table(spark, sf_dir, "documents")
     qc = quality_cols("text")
+    keep = (
+        (qc["n_tokens"] >= 5)
+        & (qc["alpha_ratio"] >= 0.6)
+        & (qc["space_ratio"] <= 0.3)
+    )
     per_doc = d.select(
         "lang",
         qc["n_chars"].alias("n_chars"),
         qc["n_tokens"].alias("n_tokens"),
         qc["alpha_ratio"].alias("alpha_ratio"),
         qc["space_ratio"].alias("space_ratio"),
+        keep.alias("keep"),
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -191,6 +206,10 @@ def q_text_quality(spark, sf_dir):
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
         F.round(F.avg("space_ratio"), 4).alias("avg_space_ratio"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.round(F.count_if(F.col("keep")) / F.count(F.lit(1)), 6).alias(
+            "keep_rate"
+        ),
     )
 
 
@@ -208,39 +227,32 @@ SELECT lang, count(*) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars,
        round(avg(n_tokens), 4) AS avg_tokens,
        round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
-       round(avg(space_ratio), 4) AS avg_space_ratio
+       round(avg(space_ratio), 4) AS avg_space_ratio,
+       CAST(count(*) FILTER (n_tokens >= 5 AND alpha_ratio >= 0.6
+                             AND space_ratio <= 0.3) AS BIGINT) AS n_kept,
+       round(CAST(count(*) FILTER (n_tokens >= 5 AND alpha_ratio >= 0.6
+                                   AND space_ratio <= 0.3) AS DOUBLE)
+             / count(*), 6) AS keep_rate
 FROM per_doc GROUP BY lang
 """
 
 
 def q_text_token_count(spark, sf_dir):
+    """Both tokenizations (round brief: 'whitespace + a BPE-ish regex') in
+    ONE scan/groupBy — merged from the former text_token_count +
+    text_bpe_tokens entries (VERDICT r5 task 1, 50-row sweep cap)."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_col("text")).alias("total_tokens"),
-    )
-
-
-SQL_TEXT_TOKEN_COUNT = """
-SELECT lang, count(*) AS n_docs,
-       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-FROM documents GROUP BY lang
-"""
-
-
-def q_text_bpe_tokens(spark, sf_dir):
-    """BPE-ish token counting (round brief: 'whitespace + a BPE-ish regex');
-    whitespace counts are text_token_count above."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
         F.sum(bpe_token_count_col("text")).alias("total_bpe_tokens"),
         F.round(F.avg(bpe_token_count_col("text")), 4).alias("avg_bpe_tokens"),
     )
 
 
-SQL_TEXT_BPE_TOKENS = f"""
+SQL_TEXT_TOKEN_COUNT = f"""
 SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS BIGINT)
          AS total_bpe_tokens,
        round(avg(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))), 4)
@@ -291,41 +303,9 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
-def q_text_quality_filter(spark, sf_dir):
-    """Quality FILTERING (the pipeline action on top of scoring): keep docs
-    passing the standard gates (enough tokens, mostly alphabetic, sane
-    whitespace) — the predicate is pure codegen'd Column exprs, pushed at
-    the scan. Returns the per-lang survivor counts + rate."""
-    d = load_table(spark, sf_dir, "documents")
-    qc = quality_cols("text")
-    keep = (
-        (qc["n_tokens"] >= 5)
-        & (qc["alpha_ratio"] >= 0.6)
-        & (qc["space_ratio"] <= 0.3)
-    )
-    return d.withColumn("keep", keep).groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_if(F.col("keep")).alias("n_kept"),
-        F.round(F.count_if(F.col("keep")) / F.count(F.lit(1)), 6).alias(
-            "keep_rate"
-        ),
-    )
-
-
-SQL_TEXT_QUALITY_FILTER = """
-WITH scored AS (
-  SELECT lang,
-         (len(string_split(text, ' ')) >= 5
-          AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                    AS DOUBLE) / length(text), 6) >= 0.6
-          AND round(CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
-                    AS DOUBLE) / length(text), 6) <= 0.3) AS keep
-  FROM documents)
-SELECT lang, count(*) AS n_docs,
-       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
-       round(CAST(count(*) FILTER (keep) AS DOUBLE) / count(*), 6) AS keep_rate
-FROM scored GROUP BY lang
-"""
+# text_quality_filter was merged INTO q_text_quality (n_kept/keep_rate
+# columns) in round 6 — VERDICT r5 task 1: the driver sweep hard-caps at 50
+# rows, and fusing score+filter into one groupBy is also one fewer scan.
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -366,15 +346,36 @@ FROM documents
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction (decode stubbed —
-    deterministic fake; rows-only check)."""
+    """Full multimodal pipeline under the driver (r6: extends the former
+    features-only entry to ALSO exercise resize_media + sample_frames —
+    VERDICT r5 task 6 gave frame sampling a driver surface without a new
+    registry slot): resize (pure-Column truncation stub) -> sample 4
+    evenly-spaced frames per media row (Arrow mapInPandas, 1->N expansion)
+    -> extract per-frame features (Arrow mapInPandas) -> per-frame_idx
+    rollup. Rows-only check (pandas-UDF outputs have no DuckDB twin);
+    per-path outputs pinned by tests/test_multimodal.py."""
+    from raqc_spark.functions.multimodal import resize_media, sample_frames
+
     d = load_table(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_media(d))
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.round(F.element_at("feature", 1), 2).alias("f_len"),
-        F.round(F.element_at("feature", 7), 2).alias("f_card"),
+    media = resize_media(documents_as_media(d), target_bytes=256)
+    frames = sample_frames(media, num_frames=4).select(
+        (F.col("media_id") * 4 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame_idx"),
+        F.col("frame_payload").alias("payload"),
+        F.octet_length("frame_payload").cast("long").alias("n_bytes"),
+    )
+    feats = extract_features(frames)
+    # frame_idx folds back out of the composite id — no join, no shuffle
+    # beyond the one groupBy
+    return (
+        feats.withColumn("frame_idx", (F.col("media_id") % 4).cast("int"))
+        .groupBy("frame_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("n_bytes").alias("total_frame_bytes"),
+            F.round(F.sum(F.element_at("feature", 4)), 2).alias("sum_f_chk"),
+            F.round(F.avg(F.element_at("feature", 7)), 4).alias("avg_f_card"),
+        )
     )
 
 
@@ -454,11 +455,17 @@ def q_media_contract_verdicts(spark, sf_dir):
     )
     d = load_table(spark, sf_dir, "documents")
     media = media_as_code_table(documents_as_media(d))
-    res = run_contract(
-        spark, contract, media,
-        run_dir=tempfile.mkdtemp(prefix="raqc_qm_"), resume=False,
-    )
-    return res.verdicts
+    # run_dir reclaimed right away: verdicts are materialized rows
+    # (ADVICE r5 orphaned-/tmp-dirs finding)
+    import shutil
+
+    run_dir = tempfile.mkdtemp(prefix="raqc_qm_")
+    try:
+        res = run_contract(spark, contract, media, run_dir=run_dir,
+                           resume=False)
+        return res.verdicts
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 SQL_MEDIA_CONTRACT_VERDICTS = """
@@ -501,23 +508,26 @@ SELECT CAST(0 AS INT), 'uniqueness',
 
 
 PIPELINE_QUERIES = {
-    # Ordering is registry armor (VERDICT r2 task 3, r3 task 2, r4 "What's
-    # wrong" #1): the driver sweep's time budget drops entries from the
-    # TAIL of the registry (r2: 1 entry; r4: 3). Cheap, least-redundantly-
-    # verified queries lead; the tail is sentinel duplicates appended in
-    # __spark_entry__.py. doc_fingerprint and dedup_embedding_cosine moved
-    # to the leading block in r5 after losing their driver rows to the r4
-    # cut (both are sub-second scans).
+    # r6 registry consolidation (VERDICT r5 task 1): three rounds of sweep
+    # data showed the driver records EXACTLY 50 rows regardless of per-
+    # query cost — a hard row cap, not a time budget — so the registry now
+    # holds exactly 50 real entries and every operator keeps its
+    # CORRECTNESS row. Merged here: text_quality+text_quality_filter (one
+    # scored+gated groupBy), text_token_count+text_bpe_tokens (one two-
+    # tokenizer groupBy), multimodal_features now runs the full
+    # resize->sample_frames->features pipeline, dedup_simhash (signatures)
+    # folded into dedup_simhash_pairs (its first stage; signatures stay
+    # pinned by tests/test_dedup.py), run_contract_verdicts dropped in
+    # favor of the hash-gated run_contract_verdicts_oracle lifecycle.
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "multimodal_meta": q_multimodal_meta,
-    "multimodal_features": q_multimodal_features,
+    "multimodal_frames_features": q_multimodal_features,
     "media_bounds": q_media_bounds,
     "media_contract_verdicts": q_media_contract_verdicts,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "simsearch_cosine_topk": q_simsearch_cosine_topk,
     "simsearch_lsh": q_simsearch_lsh,
@@ -525,21 +535,18 @@ PIPELINE_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "text_quality_filter": q_text_quality_filter,
 }
 
 PIPELINE_ORACLE = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
-    # dedup_minhash_lsh / dedup_simhash / simsearch_lsh /
-    # multimodal_features: rows-only (xxhash64 & pandas-UDF paths)
+    # dedup_minhash_lsh / dedup_simhash_pairs / simsearch_lsh /
+    # simsearch_ivf / multimodal_frames_features: rows-only (xxhash64 &
+    # pandas-UDF paths have no DuckDB twin)
     "simsearch_cosine_topk": SQL_SIMSEARCH_COSINE_TOPK,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
-    "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
-    "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
