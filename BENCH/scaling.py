@@ -147,15 +147,23 @@ def run_once(cores: int) -> dict:
 
 
 def _leg_polluted(procs_mid: dict) -> bool:
-    """ANY sample with a real co-tenant burst marks the leg polluted.
+    """Flag only SUSTAINED co-tenant load (>20% of 2s samples hot).
 
-    Measured justification (r6 pair 0): a T_4 leg with only 4.5% hot
-    samples (4 of 88, max_excess 7) ran 131s vs the 93-108s clean r5 range
-    — brief bursts distort the wall far beyond their duration share
-    (bandwidth contention), so a frequency threshold under-flags. With 10
-    pairs the strict rule can afford to discard; main() falls back to the
-    pair-start quiet gate if it leaves no clean pair."""
-    return procs_mid.get("max_excess", 0) > POLLUTE_EXCESS
+    Calibration against the r6 pairs (all 20 legs): every leg — including
+    certainly-clean ones — records 1-9 ambient burst samples (max_excess
+    6-11), so an any-sample rule flags 10/10 pairs and discriminates
+    nothing. Conversely the one KNOWN-polluted leg (pair 0 T_4: +25% wall,
+    builder's own pytest running alongside) shows hot_frac just 0.045 —
+    indistinguishable from clean legs, because a mostly-idle competitor
+    distorts walls via bandwidth/cache contention that 2s runnable-thread
+    counts cannot see. Consequence, documented in SCALING_AUTO.md: the
+    published headline is the UNFILTERED median over all idle-gated pairs
+    (robust to a polluted minority by construction); this flag only
+    excludes gross sustained pollution, and the raw samples ship in the
+    artifact as evidence either way."""
+    n = procs_mid.get("n", 0)
+    slack_hot = procs_mid.get("hot_frac", 0.0)
+    return n > 0 and slack_hot > 0.2
 
 
 PAIRS_LOG = os.path.join(
@@ -272,9 +280,20 @@ idle-window gate, one warm-up (120k fixture) + ONE timed run per fresh JVM.
 | --- | --- | --- | --- | --- | --- | --- |
 {rows_tbl}
 
-**HEADLINE (median of {len(quiet_pairs)} clean pairs — mid-leg procs
-sampling excludes burst-hit legs by evidence, VERDICT r5 task 3):
-efficiency = {median_eff:.3f}** (target >= 0.8). Least-interfered pair (fastest combined wall, the round-2
+**HEADLINE (median of {len(quiet_pairs)} pairs: all idle-gated pairs
+minus any with SUSTAINED mid-leg pollution — none excluded this run):
+efficiency = {median_eff:.3f}** (target >= 0.8).
+
+Mid-leg evidence (VERDICT r5 task 3): every leg now samples
+``procs_running`` every 2s; the full sample vectors ship in
+``scaling_pairs_*.jsonl`` / ``scaling_result.json``. Calibration finding
+from these samples: 2s runnable-thread counts UNDER-detect brief
+competitors (the one known-polluted leg — pair 0 T_4, +25% wall from the
+builder's own test run alongside — shows hot_frac 0.045, inside the
+ambient 0.01-0.11 range every leg records), so rather than cherry-pick
+legs on a signal that cannot discriminate, the headline is the UNFILTERED
+median, which is robust to a polluted minority by construction; the
+pollution flag only excludes gross sustained load (>20% hot samples). Least-interfered pair (fastest combined wall, the round-2
 convention, kept for comparability):
 T_{N_CORES} = {b['n']['wall']:.2f}s ({rows / b['n']['wall']:,.0f} rows/s),
 T_{N4_CORES} = {b['n4']['wall']:.2f}s ({rows / b['n4']['wall']:,.0f} rows/s),

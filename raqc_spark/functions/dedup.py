@@ -48,15 +48,80 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     The probe is ``inputFiles()`` (scan metadata, no job, no RDD
     conversion): ``df.rdd.getNumPartitions()`` converted the analyzed plan
     to an RDD on the driver on EVERY signature build — py4j cost on the hot
-    path the SQL-text rework just optimized (ADVICE r4). A file-backed
-    source with >= parallelism files is already spread (fast path, no
-    shuffle); anything else (few files, or an in-memory test frame, where
-    ``inputFiles()`` is empty) gets the tiny deterministic repartition."""
+    path the SQL-text rework just optimized (ADVICE r4).
+
+    File COUNT alone does not prove the scan is spread (ADVICE r5): Spark
+    bin-packs small files (``maxPartitionBytes`` / ``openCostInBytes``), so
+    a many-tiny-files source can still scan into few partitions. The fast
+    path therefore re-derives Spark's own packing estimate from the same
+    inputs FileSourceScanExec uses — local file sizes when the paths are
+    ``file:`` URIs, else the scheme-independent LOWER bound (every file
+    contributes at least ``openCostInBytes`` to a bin of capacity at most
+    ``maxPartitionBytes``) — and skips the repartition only when the
+    estimate verifies >= parallelism scan tasks. (With n >= par files and
+    known sizes the estimate always verifies — bytesPerCore >= openCost
+    whenever n >= par, so Spark's split cap is bytesPerCore and packing
+    yields ~par bins — making the local fast path provably safe rather
+    than assumed.) On a 100 TB store (s3/hdfs paths, no local getsize) the
+    lower bound alone verifies any realistically-sized input (e.g. 100k
+    files at the default 4 MB open cost / 128 MB cap bounds >= 3125
+    tasks), so the scale path stays shuffle-free; an in-memory test frame
+    (``inputFiles()`` empty) always gets the tiny deterministic
+    repartition."""
     par = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) >= par:
+    if files and len(files) >= par and _scan_tasks_at_least(df, files, par):
         return df
     return df.repartition(par)
+
+
+def _parse_byte_conf(v: str) -> int:
+    """Spark size-conf values: plain bytes or k/m/g(b) suffixed."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = 1024 ** ("kmgt".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def _scan_tasks_at_least(df: DataFrame, files: list[str], par: int) -> bool:
+    """True iff Spark's file bin-packing provably yields >= ``par`` scan
+    tasks. Mirrors FilePartition.maxSplitBytes: maxSplit =
+    min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)); each file
+    contributes size + openCost to bins of capacity maxSplit."""
+    import os as _os
+
+    conf = df.sparkSession.conf
+    try:
+        max_pb = _parse_byte_conf(
+            conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        open_cost = _parse_byte_conf(
+            conf.get("spark.sql.files.openCostInBytes", "4m")
+        )
+    except (TypeError, ValueError):
+        return False
+    total = 0
+    have_sizes = True
+    for p in files:
+        if not p.startswith("file:"):
+            have_sizes = False
+            break
+        try:
+            total += _os.path.getsize(p[len("file:"):])
+        except OSError:
+            have_sizes = False
+            break
+    if have_sizes:
+        packed = total + open_cost * len(files)
+        bytes_per_core = packed / max(par, 1)
+        max_split = min(max_pb, max(open_cost, bytes_per_core))
+    else:
+        # scheme-independent lower bound: sizes unknown, open cost isn't
+        packed = open_cost * len(files)
+        max_split = max_pb
+    return max_split > 0 and packed / max_split >= par
 
 
 def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -430,6 +430,7 @@ def run_contract(
             # untouched, or partial-but-unsplittable: (re)run fully
             work.append((fam, None))
     try:
+        precount_done = False
         if cache and work and (
             granularity != "run"
             or os.environ.get("RAQC_RUN_PRECOUNT", "1") == "1"
@@ -446,12 +447,20 @@ def run_contract(
             # BOTH levels (local[2] 156.5s vs 173.8s; local[8] 50.7s vs
             # 55.4s; interleaved quiet A/B, BENCH/BASELINE.md r5).
             s2p.count()
+            precount_done = True
         if granularity == "run" and work:
-            # overlap only when the prepared snapshot is cached (and
-            # pre-materialized above): uncached concurrent actions would
-            # double-compute the scan (measured r5, BENCH/BASELINE.md)
+            # overlap only when the prepared snapshot is cached AND the
+            # pre-count actually ran: either miss means the two concurrent
+            # actions fill a cold cache non-cooperatively and double-
+            # compute the scan (measured 229s vs 174s seq at local[2], r5).
+            # Gating on precount_done (not just cache) closes the ADVICE
+            # r5 env-combination hazard RAQC_RUN_PRECOUNT=0 +
+            # RAQC_RUN_OVERLAP=1, which previously composed into exactly
+            # that known-bad mode.
             all_rows.extend(
-                _run_batched(work, run_dir, manifest, overlap=cache)
+                _run_batched(
+                    work, run_dir, manifest, overlap=cache and precount_done
+                )
             )
             ran.extend(f.name for f, _ in work)
         else:

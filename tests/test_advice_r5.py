@@ -71,14 +71,69 @@ def test_spread_small_input_no_rdd_probe(spark, code_fixture, monkeypatch):
     out = _spread_small_input(mem)
     assert "repartition" in out._jdf.queryExecution().logical().toString().lower() \
         or out is not mem
-    # file-backed source: identity iff it already has >= par files
+    # file-backed source: identity iff the PACKING estimate (not the bare
+    # file count — ADVICE r5: Spark bin-packs small files) verifies >= par
+    # scan tasks
+    from raqc_spark.functions.dedup import _scan_tasks_at_least
+
     _, root = code_fixture
     df = spark.read.parquet(f"{root}/code_files_s2.parquet")
+    files = df.inputFiles()
     spread = _spread_small_input(df)
-    if len(df.inputFiles()) >= par:
+    if len(files) >= par and _scan_tasks_at_least(df, files, par):
         assert spread is df
     else:
         assert spread is not df
+
+
+def test_scan_tasks_estimate_mirrors_spark_packing(spark, tmp_path):
+    """ADVICE r5 (medium): bare file count is not partition count. The fix
+    re-derives FilePartition.maxSplitBytes from the scan's own inputs.
+
+    Two regimes:
+    - local sizes known: with n >= par files, bytesPerCore =
+      (total + openCost*n)/par >= openCost, so Spark's formula caps the
+      split at bytesPerCore and bin-packing yields ~par bins — the
+      estimate agrees and fast-paths (it can only reject on degenerate
+      confs it fails to parse);
+    - sizes unknown (s3/hdfs paths): only the scheme-independent lower
+      bound n*openCost/maxPartitionBytes counts, so a modest file count
+      is NOT accepted on faith (the actual ADVICE hazard) while a
+      realistic at-scale layout still verifies shuffle-free."""
+    import pandas as pd
+
+    from raqc_spark.functions.dedup import (
+        _parse_byte_conf,
+        _scan_tasks_at_least,
+        _spread_small_input,
+    )
+
+    # conf parser: plain bytes + suffixed forms
+    assert _parse_byte_conf("134217728") == 128 << 20
+    assert _parse_byte_conf("128m") == 128 << 20
+    assert _parse_byte_conf("128MB") == 128 << 20
+    assert _parse_byte_conf("4194304b") == 4 << 20
+    assert _parse_byte_conf("1g") == 1 << 30
+
+    par = spark.sparkContext.defaultParallelism
+    root = tmp_path / "many_tiny"
+    root.mkdir()
+    for i in range(2 * par):
+        pd.DataFrame({"text": [f"doc {i}"]}).to_parquet(
+            root / f"part-{i:03d}.parquet"
+        )
+    df = spark.read.parquet(str(root))
+    files = df.inputFiles()
+    assert len(files) >= par
+    # local regime: estimate agrees with Spark (bytesPerCore-capped bins)
+    assert _scan_tasks_at_least(df, files, par)
+    assert _spread_small_input(df) is df
+    # unknown scheme: the same file count is NOT accepted on faith
+    fake = [f"s3://bucket/f{i}" for i in range(len(files))]
+    assert not _scan_tasks_at_least(df, fake, par)
+    # ...but an at-scale layout verifies via the lower bound alone
+    many = [f"s3://bucket/f{i}" for i in range(64 * par)]
+    assert _scan_tasks_at_least(df, many, par)
 
 
 def test_registry_is_exactly_fifty_real_entries():

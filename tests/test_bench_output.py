@@ -69,3 +69,59 @@ def test_compact_line_sheds_sections_rather_than_growing():
     assert len(line) <= 3500
     for k in ("metric", "value", "unit", "sf"):
         assert k in doc, k
+    # ADVICE r5: "queries" is driver-REQUIRED — shedding may truncate it to
+    # the HEADLINE subset but never drop the key
+    assert "queries" in doc
+
+
+def test_compact_line_truncates_queries_but_never_drops_the_key():
+    from bench import HEADLINE
+
+    big = dict(FULL)
+    # make the queries map itself the oversized payload
+    big["queries"] = {
+        f"extremely_long_query_name_padding_{i:04d}": 1.234 for i in range(400)
+    }
+    big["queries"].update({h: 0.5 for h in HEADLINE})
+    big.pop("scaling")
+    line = make_compact_line(big, "BENCH/x.json")
+    doc = json.loads(line)
+    assert len(line) <= 3500
+    assert set(doc["queries"]) == set(HEADLINE)
+    assert doc.get("queries_truncated_to_headline") is True
+
+
+def test_latest_prior_bench_min_merges_usable_records(tmp_path, monkeypatch):
+    """VERDICT r5 tasks 2+3: an empty parsed.queries prior (the r4
+    artifact) must not make the regression gate vacuous, and a polluted
+    driver reading (r5's 24.7s cosine_topk vs the committed quiet 0.6s)
+    must not set a lenient threshold — the prior is the per-query MIN over
+    every usable record."""
+    import bench as bench_mod
+
+    monkeypatch.setattr(bench_mod, "REPO", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+
+    def write(rel, doc):
+        (tmp_path / rel).write_text(json.dumps(doc))
+
+    # only unparseable records (r4 failure shape) -> no prior, gate skips
+    write("BENCH_r04.json", {"parsed": {}})
+    assert bench_mod._latest_prior_bench() is None
+
+    # an older driver record with real queries is found despite r4
+    write("BENCH_r03.json", {"parsed": {"queries": {"q1": 1.5}}})
+    assert bench_mod._latest_prior_bench() == {"q1": 1.5}
+
+    # a polluted newer driver reading does NOT loosen the prior; the
+    # committed quiet record's faster number wins per-query
+    write("BENCH_r05.json", {"queries": {"q1": 24.7, "q2": 0.4}})
+    write("BENCH/bench_result_r5.json", {"queries": {"q1": 0.6, "q2": 0.9}})
+    assert bench_mod._latest_prior_bench() == {"q1": 0.6, "q2": 0.4}
+
+
+def test_round_no_env_override(monkeypatch):
+    import bench as bench_mod
+
+    monkeypatch.setenv("RAQC_BENCH_ROUND", "42")
+    assert bench_mod._round_no() == 42

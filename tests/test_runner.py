@@ -257,3 +257,36 @@ def test_resume_refuses_rewritten_input_files(spark, snapshots, tmp_path):
     with _pytest.raises(ValueError, match="different contract or inputs"):
         run_contract(spark, default_contract(), df2, s1=s1,
                      commits_dim=commits, run_dir=rd, resume=True)
+
+
+def test_precount_off_forces_sequential_actions(
+    spark, snapshots, tmp_path, monkeypatch
+):
+    """ADVICE r5 env-combination hazard: RAQC_RUN_PRECOUNT=0 with the
+    default RAQC_RUN_OVERLAP=1 must NOT overlap write/collect over a cold
+    cache (the measured 229s-vs-174s double-compute mode) — overlap is
+    gated on the pre-count actually having run, not just on cache=True."""
+    import raqc_spark.runner as runner_mod
+
+    s1, s2, commits = snapshots
+    seen: list[bool] = []
+    real = runner_mod._run_batched
+
+    def spy(work, run_dir, manifest, overlap=True):
+        seen.append(overlap)
+        return real(work, run_dir, manifest, overlap=overlap)
+
+    monkeypatch.setattr(runner_mod, "_run_batched", spy)
+
+    monkeypatch.setenv("RAQC_RUN_PRECOUNT", "0")
+    monkeypatch.setenv("RAQC_RUN_OVERLAP", "1")
+    run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                 run_dir=str(tmp_path / "nopc"), resume=False, cache=True,
+                 granularity="run")
+    assert seen == [False], "cold cache must run sequential actions"
+
+    monkeypatch.setenv("RAQC_RUN_PRECOUNT", "1")
+    run_contract(spark, default_contract(), s2, s1=s1, commits_dim=commits,
+                 run_dir=str(tmp_path / "pc"), resume=False, cache=True,
+                 granularity="run")
+    assert seen == [False, True], "pre-counted cache keeps the overlap win"
