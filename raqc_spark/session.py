@@ -55,6 +55,25 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(ENGINE_CONF)
+    if master.startswith("local"):
+        # Cap G1's GC worker threads in local mode. On an H-core host the
+        # JVM defaults to ~5/8·H ParallelGCThreads (23 at H=32); with
+        # local[H] every hw thread already runs a task thread, so GC
+        # workers oversubscribe the host and the contract THRASHES —
+        # measured interleaved A/B on the 663k-row fixture at local[32]:
+        # default 10.95/11.48s vs ParallelGCThreads=8 6.09s (1.8x), with
+        # 4/8/16 reading 7.22/8.08/9.46 and the default worst. Sized
+        # host//4 capped to [4, 8]; RAQC_GC_THREADS overrides, and any
+        # caller-supplied extraJavaOptions wins untouched (cluster
+        # deployments configure executor JVMs via spark-submit instead).
+        host = os.cpu_count() or 8
+        gc_threads = os.environ.get(
+            "RAQC_GC_THREADS", str(max(4, min(8, host // 4)))
+        )
+        conf["spark.driver.extraJavaOptions"] = (
+            f"-XX:ParallelGCThreads={gc_threads}"
+            f" -XX:ConcGCThreads={max(1, int(gc_threads) // 4)}"
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
