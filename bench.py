@@ -185,6 +185,32 @@ def _query_times(path: str) -> dict | None:
         return None
 
 
+def _prior_scalar(key: str) -> float | None:
+    """Best (minimum) known prior for a top-level scalar bench metric,
+    min-merged over the same record set as ``_latest_prior_bench``."""
+    import glob
+    import re as _re
+
+    paths = [
+        p for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if _re.search(r"BENCH_r(\d+)\.json$", p)
+    ] + [
+        p for p in glob.glob(os.path.join(REPO, "BENCH", "bench_result_r*.json"))
+        if _re.search(r"bench_result_r(\d+)\.json$", p)
+    ]
+    best: float | None = None
+    for path in paths:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:
+            continue
+        v = (doc.get("parsed") or doc).get(key)
+        if isinstance(v, (int, float)) and v > 0 and (best is None or v < best):
+            best = float(v)
+    return best
+
+
 def _latest_prior_bench() -> dict | None:
     """Best-known per-query prior: the per-query MINIMUM across every
     usable bench record (driver-written BENCH_r{N}.json AND the committed
@@ -272,6 +298,28 @@ def main() -> None:
         )[1]
         batched_wall = w if batched_wall is None else min(batched_wall, w)
     contract["contract_batched4_wall_sec"] = round(batched_wall, 3)
+    # Self-adjudicate the batched reading too (r6: a 45.8s polluted
+    # batched4 sample shipped while the quiet probe read 8.13s — the
+    # headline-query gate didn't cover this metric). Same contract as the
+    # per-query probes: >2x the best known prior -> idle-gated probe reps
+    # recorded in the artifact, best folded into the metric.
+    prior_b = _prior_scalar("contract_batched4_wall_sec")
+    if prior_b and batched_wall > 2.0 * prior_b and batched_wall - prior_b > 0.5:
+        reps = []
+        for _ in range(3):
+            wait_for_quiet(timeout=60)
+            reps.append(round(run_contract_once(
+                spark, fixture_root, granularity="family",
+                partition_batches=4,
+            )[1], 3))
+        contract["contract_batched4_probe"] = {
+            "flagged_sec": round(batched_wall, 3), "prior_sec": prior_b,
+            "reps": reps, "best": min(reps),
+            "cleared": min(reps) <= 1.5 * prior_b + 0.25,
+        }
+        contract["contract_batched4_wall_sec"] = round(
+            min(batched_wall, *reps), 3
+        )
 
     # ---- headline queries. The gate re-runs HERE (VERDICT r3 task 1): the
     # contract section above takes ~40s+, so a gate that only ran before it

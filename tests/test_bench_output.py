@@ -125,3 +125,21 @@ def test_round_no_env_override(monkeypatch):
 
     monkeypatch.setenv("RAQC_BENCH_ROUND", "42")
     assert bench_mod._round_no() == 42
+
+
+def test_prior_scalar_min_merges_records(tmp_path, monkeypatch):
+    """The batched/contract walls self-adjudicate against the best known
+    prior scalar, min-merged over the same record set as the per-query
+    prior (r6: a polluted 45.8s batched4 sample shipped un-gated)."""
+    import bench as bench_mod
+
+    monkeypatch.setattr(bench_mod, "REPO", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    assert bench_mod._prior_scalar("contract_batched4_wall_sec") is None
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"parsed": {"contract_batched4_wall_sec": 18.6}})
+    )
+    (tmp_path / "BENCH" / "bench_result_r6.json").write_text(
+        json.dumps({"contract_batched4_wall_sec": 45.8})
+    )
+    assert bench_mod._prior_scalar("contract_batched4_wall_sec") == 18.6
