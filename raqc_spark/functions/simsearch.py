@@ -13,11 +13,20 @@ stable across engines/parallelism.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # NOTE (r7): an unrolled fixed-dim variant of this fold was prototyped
+    # and rejected by measurement — codegen'd it produces one giant nested
+    # Add the JIT refuses to compile (5x slower), and guard-wrapped it
+    # forces the surrounding projection out of whole-stage codegen (ivf
+    # exec 2s -> 14s at sf0.1, plan build 0.26s -> 4s). The quadratic dot
+    # workload moved to the Arrow GEMM path in ivf_cosine_topk instead;
+    # the remaining fold call sites are all linear in corpus size.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -224,6 +233,59 @@ def ivf_assignments(
     return centroids, ranked.select("doc", "cid")
 
 
+def _ivf_group_topk(k: int):
+    """Per-(list, sub-list) scorer for the Arrow path of ivf_cosine_topk:
+    one BLAS matrix multiply replaces |probes|x|members| interpreted
+    per-pair dot folds (guide §4.2 — batches to vectorized native code).
+
+    Emits each probe's local top-k (by rounded cosine DESC, c_id ASC — the
+    exact final-window ordering), i.e. the same partial reduction the JVM
+    plan's WindowGroupLimit performed, so the global window's result is
+    unchanged. Raw (unrounded) cosines are returned; the JVM rounds them,
+    so output VALUES are Spark-rounded exactly as before — numpy rounding
+    is used only as the local selection key (verified result-identical on
+    every fixture SF; parity is also pinned by a test)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = {
+        "q_id": pd.Series(dtype="int64"),
+        "c_id": pd.Series(dtype="int64"),
+        "cosine": pd.Series(dtype="float64"),
+    }
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(empty)
+        q_ids = left["q_id"].to_numpy()
+        qn = left["q_norm"].to_numpy(dtype=np.float64)
+        Q = np.stack(left["q_vec"].to_numpy()).astype(np.float64)
+        c_ids = right["c_id"].to_numpy()
+        cn = right["c_norm"].to_numpy(dtype=np.float64)
+        C = np.stack(right["c_vec"].to_numpy()).astype(np.float64)
+        # members sorted by c_id so a STABLE argsort on cosine breaks
+        # rounded-cosine ties by c_id ASC, matching the window ordering
+        order = np.argsort(c_ids, kind="stable")
+        c_ids, cn, C = c_ids[order], cn[order], C[order]
+        S = Q @ C.T
+        S /= qn[:, None]
+        S /= cn[None, :]
+        self_mask = q_ids[:, None] == c_ids[None, :]
+        key = np.where(self_mask, -np.inf, np.round(S, 6))
+        kk = min(k, S.shape[1])
+        idx = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+        keep = ~np.take_along_axis(self_mask, idx, axis=1).ravel()
+        return pd.DataFrame(
+            {
+                "q_id": np.repeat(q_ids, kk)[keep],
+                "c_id": c_ids[idx].ravel()[keep],
+                "cosine": np.take_along_axis(S, idx, axis=1).ravel()[keep],
+            }
+        )
+
+    return score
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     k: int = 5,
@@ -232,6 +294,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     list_splits: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in ONE inverted list (their nearest
     centroid); queries probe their ``nprobe`` nearest lists; exact cosine
@@ -260,6 +323,8 @@ def ivf_cosine_topk(
     list skew). ``list_splits`` defaults to cover the cluster's default
     parallelism.
     """
+    if arrow is None:
+        arrow = os.environ.get("RAQC_SIMSEARCH_ARROW", "1") != "0"
     _, ranked = ivf_ranked_assignments(
         emb, num_centroids, max_rank=nprobe, id_col=id_col, vec_col=vec_col
     )
@@ -309,26 +374,55 @@ def ivf_cosine_topk(
             F.col("vec").alias("q_vec"), F.col("norm").alias("q_norm"),
         )
         .withColumn(
-            "sub", F.explode(F.sequence(F.lit(0), F.lit(list_splits - 1)))
+            # LONG bounds so `sub` is bigint on BOTH sides: the JVM join
+            # coerces int-vs-long keys, but the Arrow cogroup matches groups
+            # by raw partitioning hash, and murmur3(int 2) != murmur3(long 2)
+            # — with an int sub here the two sides never co-partition
+            "sub",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(list_splits - 1).cast("long")
+                )
+            ),
         )
         # pinned on BOTH sides: whichever side the planner streams (the
         # other broadcasts), its explicit REPARTITION_BY_NUM survives AQE
         # coalescing, so the pair multiply never collapses to one task.
         .repartition(num_centroids * list_splits, "cid", "sub")
     )
-    scored = (
-        probes.join(members, ["cid", "sub"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ).alias("cosine"),
+    if arrow:
+        # Arrow GEMM path (guide §4.2): the probes x members multiply is the
+        # ONLY superlinear stage (~rows^2 * nprobe / num_centroids pairs); as
+        # interpreted per-pair JVM folds it measured 89.7s at sf1.0 (150M
+        # pairs x 64 dims), as one per-group numpy matmul + local top-k the
+        # same result computes in ~2s. Grouping keys (cid, sub) match the
+        # pinned REPARTITION_BY_NUM exchanges, so cogroup reuses them and
+        # the fan-out/skew properties of the replicated list join carry over
+        # unchanged.
+        local = (
+            probes.groupBy("cid", "sub")
+            .cogroup(members.groupBy("cid", "sub"))
+            .applyInPandas(
+                _ivf_group_topk(k), "q_id long, c_id long, cosine double"
+            )
         )
-    )
+        scored = local.select(
+            "q_id", "c_id", F.round(F.col("cosine"), 6).alias("cosine")
+        )
+    else:
+        scored = (
+            probes.join(members, ["cid", "sub"])
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select(
+                "q_id",
+                "c_id",
+                F.round(
+                    _dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
