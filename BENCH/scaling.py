@@ -113,19 +113,31 @@ def run_once(cores: int) -> dict:
     during the timed big run would it matter — we conservatively flag on
     the whole leg (warm-up included) since the warm-up is ~10% of wall."""
     script = CHILD.format(repo=REPO, files=SCALING_FILES, splits=8 * N4_CORES)
-    proc = subprocess.Popen(
-        [sys.executable, "-c", script, str(cores)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
-    )
-    samples = []
-    t0 = time.time()
-    while proc.poll() is None:
-        time.sleep(2)
-        samples.append(_procs_running())
-        if time.time() - t0 > 3600:
-            proc.kill()
-            raise RuntimeError(f"leg cores={cores} timed out after 3600s")
-    stdout, stderr = proc.communicate()
+    # Child output goes to temp FILES, not PIPEs (ADVICE r6): an undrained
+    # PIPE blocks the child once it writes ~64KB (JVM startup INFO, crash
+    # tracebacks), turning a failed leg into a 3600s hang with the
+    # diagnostics lost. Files never block, and survive a kill for reading.
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as out_f, \
+            tempfile.TemporaryFile(mode="w+") as err_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script, str(cores)],
+            stdout=out_f, stderr=err_f, text=True, cwd=REPO,
+        )
+        samples = []
+        t0 = time.time()
+        while proc.poll() is None:
+            time.sleep(2)
+            samples.append(_procs_running())
+            if time.time() - t0 > 3600:
+                proc.kill()
+                proc.wait()  # reap — no zombie (ADVICE r6)
+                raise RuntimeError(f"leg cores={cores} timed out after 3600s")
+        out_f.seek(0)
+        stdout = out_f.read()
+        err_f.seek(0)
+        stderr = err_f.read()
     if proc.returncode != 0:
         raise RuntimeError(stderr[-2000:])
     rec = json.loads(stdout.strip().splitlines()[-1])

@@ -73,10 +73,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries_pipeline.PIPELINE_QUERIES for the merge list). The 50-cap
     # assumption is pinned by tests/test_advice_r5.py::test_registry_is_
     # exactly_fifty_real_entries.
-    assert len(out) <= 50, (
-        f"registry grew to {len(out)} entries; the driver sweep hard-caps "
-        "at 50 rows — consolidate before adding (VERDICT r5 task 1)"
-    )
+    if len(out) > 50:  # explicit raise — a bare assert vanishes under -O
+        raise ValueError(
+            f"registry grew to {len(out)} entries; the driver sweep hard-"
+            "caps at 50 rows — consolidate before adding (VERDICT r5 task 1)"
+        )
     return out
 
 

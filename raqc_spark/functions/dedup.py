@@ -140,15 +140,24 @@ def doc_shingles(
     """(id, shingle) distinct pairs: n-word shingles. MinHash over unigrams
     degenerates when documents share a small vocabulary (every token-SET is
     near-identical); shingling restores discriminative power — the standard
-    pre-step for MinHash dedup. Pure higher-order array exprs, no UDF."""
-    toks = tokens_col(text_col)
+    pre-step for MinHash dedup. Pure higher-order array exprs, no UDF.
+
+    The token array is materialized in a projection BEFORE the shingle
+    lambda (r7): referencing split() inside the lambda re-evaluates the
+    full tokenization per shingle — O(tokens * text_len) per doc — because
+    codegen does not common-subexpression-eliminate across lambda
+    invocations. Same shingles, one split per row."""
     shingles = F.expr(
-        f"transform(sequence(0, greatest(size(split(lower({text_col}), ' ')) - {n}, 0)),"
-        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n})))"
+        f"transform(sequence(0, greatest(size(toks) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
     )
     return (
         _spread_small_input(df)
-        .select(F.col(id_col).alias("doc"), F.explode(shingles).alias("token"))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("toks"),
+        )
+        .select("doc", F.explode(shingles).alias("token"))
         .filter(F.length("token") > 0)
         .distinct()
     )

@@ -368,7 +368,10 @@ def q_multimodal_features(spark, sf_dir):
     # frame_idx folds back out of the composite id — no join, no shuffle
     # beyond the one groupBy
     return (
-        feats.withColumn("frame_idx", (F.col("media_id") % 4).cast("int"))
+        # pmod, not % — Spark's % keeps the dividend's sign, so a negative
+        # (hashed) media_id would silently land frames in wrong buckets;
+        # identical for the current non-negative doc ids (ADVICE r6)
+        feats.withColumn("frame_idx", F.pmod(F.col("media_id"), F.lit(4)).cast("int"))
         .groupBy("frame_idx")
         .agg(
             F.count(F.lit(1)).alias("n_frames"),

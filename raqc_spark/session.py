@@ -75,7 +75,15 @@ def get_spark(
             f" -XX:ConcGCThreads={max(1, int(gc_threads) // 4)}"
         )
     if extra_conf:
+        # Compose caller extraJavaOptions with the GC cap instead of letting
+        # them clobber it (ADVICE r6: a wholesale replace silently dropped
+        # the measured 1.8x GC fix). Caller flags come last, so an explicit
+        # caller -XX:ParallelGCThreads still wins (JVM last-wins).
+        gc_opts = conf.get("spark.driver.extraJavaOptions")
+        caller_opts = extra_conf.get("spark.driver.extraJavaOptions")
         conf.update(extra_conf)
+        if gc_opts and caller_opts:
+            conf["spark.driver.extraJavaOptions"] = f"{gc_opts} {caller_opts}"
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
