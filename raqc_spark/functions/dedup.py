@@ -249,13 +249,29 @@ def simhash(tok: DataFrame) -> DataFrame:
     # explode reference (pinned test): bit i set iff vote sum > 0 iff
     # 2·s_i > n; bit 63's shiftleft wraps to Long.MIN_VALUE — the same
     # two's-complement packing.
+    #
+    # Lane packing (r7, guide §2.3 "shuffle fewer bytes" + per-task work):
+    # two bit-counters ride in one bigint sum — sum((hv >> i) & MASK) with
+    # MASK = 1 | 1<<32 accumulates bit i in the low 32-bit lane and bit
+    # i+32 in the high lane — so the signature build runs 32 sum aggregates
+    # instead of 64 (measured 2.28s -> 2.02s on the sf1.0 pairs query; the
+    # partial-agg row narrows 65 -> 33 longs). Lanes cannot carry into each
+    # other: a lane overflows only at 2^32 tokens per doc, and tokens come
+    # from splitting ONE string, which Spark caps at 2 GiB — so the lane
+    # count is provably exact for any representable document (a 16-bit-lane
+    # variant measured faster still, 1.84s, but its 65535-token bound is
+    # reachable by real book-sized docs; rejected).
+    LANE_MASK = 1 | (1 << 32)
     hv = tok.select("doc", F.xxhash64("token").alias("hv"))
-    sums = ", ".join(f"sum(shiftright(hv, {i}) & 1)" for i in range(64))
+    sums = ", ".join(
+        f"sum(shiftright(hv, {i}) & {LANE_MASK})" for i in range(32)
+    )
     per_doc = hv.groupBy("doc").agg(
         F.expr("count(1)").alias("n"), F.expr(f"array({sums})").alias("s")
     )
     packed = " | ".join(
-        f"IF(2 * s[{i}] > n, shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
+        f"IF(2 * ((s[{i % 32}] >> {32 * (i // 32)}) & 4294967295) > n,"
+        f" shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
         for i in range(64)
     )
     return per_doc.selectExpr("doc", f"({packed}) AS simhash")
